@@ -1,0 +1,28 @@
+from hessian_llm_vision_tpu.curvature.hvp import (
+    hvp,
+    hvp_fn,
+    Normalization,
+)
+from hessian_llm_vision_tpu.curvature.operators import (
+    LinearOperator,
+    HessianOperator,
+    DatasetHessianOperator,
+    BlockDiagonalOperator,
+    LayerHessianOperator,
+    MatrixOperator,
+)
+from hessian_llm_vision_tpu.curvature.ggn import GGNOperator, FisherOperator
+
+__all__ = [
+    "hvp",
+    "hvp_fn",
+    "Normalization",
+    "LinearOperator",
+    "HessianOperator",
+    "DatasetHessianOperator",
+    "BlockDiagonalOperator",
+    "LayerHessianOperator",
+    "MatrixOperator",
+    "GGNOperator",
+    "FisherOperator",
+]

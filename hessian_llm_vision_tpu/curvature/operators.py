@@ -1,0 +1,211 @@
+"""Matrix-free linear operators on flat ℝᴾ vectors.
+
+The reference's operator layer is the ``CurvVecProduct`` closure family
+(/root/reference/gpt2_hessian.py:102-127 and ~12 copies) plus the CoLA
+``BatchedHessian`` (/root/reference/marc_pythia.py:101-118).  Here it is a
+small protocol: an operator owns a jit-traceable ``matvec`` on flat f32
+vectors, its dimension ``P``, and nothing else.  Krylov solvers consume the
+``matvec`` directly — under ``jit`` every HVP inlines into one XLA program
+(no per-iteration re-trace; SURVEY.md §7 hard part #4).
+
+Timing/``init_vec`` injection from ``CurvVecProduct`` are NOT operator
+concerns here: grad-seeding is an explicit ``v0`` argument to Lanczos, and
+timing lives in ``obs.timing``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from hessian_llm_vision_tpu.curvature.hvp import hvp_fn
+from hessian_llm_vision_tpu.utils.flatten import Flattener
+from hessian_llm_vision_tpu.utils import trees
+
+
+@dataclasses.dataclass
+class LinearOperator:
+    """A symmetric matrix-free operator: ``matvec: (P,) f32 -> (P,) f32``."""
+
+    matvec: Callable[[jax.Array], jax.Array]
+    dim: int
+
+    def __call__(self, v: jax.Array) -> jax.Array:
+        return self.matvec(v)
+
+    def shifted(self, sigma: float) -> "LinearOperator":
+        """A + sigma*I (the reference's ``cola.PSD(G + 1e-3 I)`` damping,
+        /root/reference/colaexp.py:106)."""
+        base = self.matvec
+        return LinearOperator(lambda v: base(v) + sigma * v, self.dim)
+
+    def scaled(self, alpha: float) -> "LinearOperator":
+        base = self.matvec
+        return LinearOperator(lambda v: alpha * base(v), self.dim)
+
+
+def MatrixOperator(mat: jax.Array) -> LinearOperator:
+    """Dense symmetric matrix as an operator (test fixtures — the reference's
+    First-Principles-Lanczos dense ``M=(A+Aᵀ)/2`` notebooks, SURVEY.md §4.1)."""
+    return LinearOperator(
+        lambda v: mat.astype(jnp.float32) @ v.astype(jnp.float32), mat.shape[0]
+    )
+
+
+def HessianOperator(
+    loss_fn: Callable[[Any, Any], jax.Array],
+    params: Any,
+    batch: Any,
+    *,
+    normalization: str = "mean",
+    batch_size: int | None = None,
+    dataset_size: int | None = None,
+    remat: bool = False,
+    flattener: Flattener | None = None,
+) -> LinearOperator:
+    """Single-batch Hessian of ``loss_fn`` at ``params``.
+
+    Reference: ``hess_vec(vector, input_ids, model)`` closure per batch
+    (/root/reference/gpt2_hessian.py:66-127).
+    """
+    fl = flattener or Flattener(params)
+    _hvp = hvp_fn(
+        loss_fn,
+        normalization=normalization,
+        batch_size=batch_size,
+        dataset_size=dataset_size,
+        remat=remat,
+    )
+
+    def matvec(v: jax.Array) -> jax.Array:
+        return fl.flatten(_hvp(params, batch, fl.unflatten(v)))
+
+    return LinearOperator(matvec, fl.size)
+
+
+def DatasetHessianOperator(
+    loss_fn: Callable[[Any, Any], jax.Array],
+    params: Any,
+    batches: Any,
+    *,
+    normalization: str = "dataset",
+    batch_size: int | None = None,
+    dataset_size: int | None = None,
+    remat: bool = True,
+    flattener: Flattener | None = None,
+) -> LinearOperator:
+    """Hessian averaged over a whole dataset of stacked batches.
+
+    ``batches`` is a pytree whose leaves have a leading ``num_batches`` axis
+    (the TPU-native replacement for looping a DataLoader); accumulation runs as one
+    ``lax.scan`` inside the jitted matvec, replacing the reference's Python
+    loop with ``loss *= batch/N`` scaling
+    (/root/reference/gpt2_savehessian.py:130-163, diego_pythia.py:92-123).
+    """
+    fl = flattener or Flattener(params)
+    num_batches = jax.tree_util.tree_leaves(batches)[0].shape[0]
+    if batch_size is None:
+        batch_size = jax.tree_util.tree_leaves(batches)[0].shape[1]
+    if dataset_size is None:
+        dataset_size = num_batches * batch_size
+    _hvp = hvp_fn(
+        loss_fn,
+        normalization=normalization,
+        batch_size=batch_size,
+        dataset_size=dataset_size,
+        remat=remat,
+    )
+
+    def matvec(v: jax.Array) -> jax.Array:
+        vt = fl.unflatten(v)
+
+        def body(acc, batch):
+            out = _hvp(params, batch, vt)
+            return jax.tree_util.tree_map(jnp.add, acc, out), None
+
+        zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+        acc, _ = jax.lax.scan(body, zero, batches)
+        return fl.flatten(acc)
+
+    return LinearOperator(matvec, fl.size)
+
+
+def LayerHessianOperator(
+    loss_fn: Callable[[Any, Any], jax.Array],
+    params: Any,
+    batch: Any,
+    mask: Any,
+    *,
+    normalization: str = "mean",
+    batch_size: int | None = None,
+    dataset_size: int | None = None,
+    flattener: Flattener | None = None,
+) -> LinearOperator:
+    """Diagonal-block Hessian restricted to the masked parameter subtree:
+    ``v -> M H (M v)`` with M the subtree projector.
+
+    Reference: single-parameter ``hess_vec(…, layer_idx, …)``
+    (/root/reference/lanczostrain_layer_hand.py:74-91); the mask generalizes
+    ``layer_idx`` to arbitrary subtrees (a whole transformer block, all
+    LayerNorms, …) via ``utils.trees.subtree_mask``.
+    """
+    fl = flattener or Flattener(params)
+    _hvp = hvp_fn(
+        loss_fn,
+        normalization=normalization,
+        batch_size=batch_size,
+        dataset_size=dataset_size,
+    )
+
+    def matvec(v: jax.Array) -> jax.Array:
+        vt = trees.mask_tree(fl.unflatten(v), mask)
+        out = trees.mask_tree(_hvp(params, batch, vt), mask)
+        return fl.flatten(out)
+
+    return LinearOperator(matvec, fl.size)
+
+
+def BlockDiagonalOperator(
+    loss_fn: Callable[[Any, Any], jax.Array],
+    params: Any,
+    batch: Any,
+    masks: Sequence[Any] | None = None,
+    *,
+    normalization: str = "mean",
+    flattener: Flattener | None = None,
+) -> LinearOperator:
+    """Full block-diagonal Hessian action: ``v -> Σᵢ Mᵢ H (Mᵢ v)``.
+
+    With ``masks=None`` every parameter leaf is its own block — the
+    reference's layer-by-layer Hessian
+    (/root/reference/gpt2_savehessian_layer.py:130-178).  Cost is one HVP per
+    block (as in the reference's per-param double backprop loop); all blocks
+    trace into one XLA program under jit.
+    """
+    fl = flattener or Flattener(params)
+    if masks is None:
+        n_leaves = len(jax.tree_util.tree_leaves(params))
+        masks = []
+        for i in range(n_leaves):
+            leaves = [j == i for j in range(n_leaves)]
+            masks.append(
+                jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(params), leaves
+                )
+            )
+    _hvp = hvp_fn(loss_fn, normalization=normalization)
+
+    def matvec(v: jax.Array) -> jax.Array:
+        vt = fl.unflatten(v)
+        acc = jax.tree_util.tree_map(jnp.zeros_like, params)
+        for mask in masks:
+            out = trees.mask_tree(
+                _hvp(params, batch, trees.mask_tree(vt, mask)), mask
+            )
+            acc = jax.tree_util.tree_map(jnp.add, acc, out)
+        return fl.flatten(acc)
+
+    return LinearOperator(matvec, fl.size)

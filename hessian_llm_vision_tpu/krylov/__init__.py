@@ -1,0 +1,29 @@
+from hessian_llm_vision_tpu.krylov.lanczos import (
+    lanczos,
+    LanczosResult,
+    lanczos_checkpointed,
+)
+from hessian_llm_vision_tpu.krylov.slq import (
+    ritz_decomposition,
+    ritz_vectors,
+    trace_estimate,
+    quadrature,
+    spectral_density,
+    Spectrum,
+)
+from hessian_llm_vision_tpu.krylov.power import power_iteration
+from hessian_llm_vision_tpu.krylov.cg import cg_solve
+
+__all__ = [
+    "lanczos",
+    "LanczosResult",
+    "lanczos_checkpointed",
+    "ritz_decomposition",
+    "ritz_vectors",
+    "trace_estimate",
+    "quadrature",
+    "spectral_density",
+    "Spectrum",
+    "power_iteration",
+    "cg_solve",
+]

@@ -1,0 +1,197 @@
+"""Lanczos tridiagonalization as a single jitted ``lax.scan``.
+
+The reference carries three implementations — the gpytorch library call
+(/root/reference/gpt2_savehessian.py:202-208 and ~13 sites), a hand-rolled
+3-term recurrence with no reorthogonalization
+(/root/reference/diego_pythia.py:157-192, lanczostrain_hand.py:171-203), and
+``cola.Lanczos`` (/root/reference/marc_pythia.py:150-151).  Its own
+``Discrepancy.ipynb`` documents the orthogonality drift the hand loop
+suffers.  Here there is ONE implementation with explicit switches:
+
+* ``reorth=True``  — full reorthogonalization against the stored basis every
+  iteration (the gpytorch-parity mode; required for trustworthy Ritz values).
+* ``store_basis=False`` — T-only memory-light mode (the ``diego_pythia``
+  mode for models whose k×P basis cannot be held; implies ``reorth=False``).
+* ``basis_sharding`` — optional ``NamedSharding``/``PartitionSpec`` constraint
+  for the (k, P) basis so Q shards along P over the mesh (SURVEY.md §7 hard
+  part #1: 35×124M×f32 ≈ 17 GB exceeds one chip's HBM).
+
+The recurrence runs in f32 regardless of model dtype (hard part #3).  The
+matvec is traced *inline* — under ``jit`` the whole k-iteration solve is one
+XLA program with zero host round-trips.
+
+Grad-seeding: the reference injects the gradient as the first Krylov vector
+via the ``init_vec`` hack in ``CurvVecProduct.__call__``
+(/root/reference/gpt2_hessian.py:113-115); here it is simply ``v0=grad``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-30
+
+
+class LanczosResult(NamedTuple):
+    """``alphas`` (m,) diagonal, ``betas`` (m-1,) off-diagonal of T;
+    ``basis`` (m, P) rows are the Krylov vectors (or None in T-only mode)."""
+
+    alphas: jax.Array
+    betas: jax.Array
+    basis: Optional[jax.Array]
+
+    @property
+    def num_iters(self) -> int:
+        return self.alphas.shape[0]
+
+    def tridiag(self) -> jax.Array:
+        """Dense (m, m) tridiagonal T."""
+        return (
+            jnp.diag(self.alphas)
+            + jnp.diag(self.betas, 1)
+            + jnp.diag(self.betas, -1)
+        )
+
+
+def _normalize(v: jax.Array) -> jax.Array:
+    return v / jnp.maximum(jnp.linalg.norm(v), _EPS)
+
+
+def lanczos(
+    matvec: Callable[[jax.Array], jax.Array],
+    dim: int,
+    num_iters: int,
+    *,
+    v0: Optional[jax.Array] = None,
+    key: Optional[jax.Array] = None,
+    reorth: bool = True,
+    store_basis: bool = True,
+    basis_sharding=None,
+) -> LanczosResult:
+    """Run ``num_iters`` Lanczos iterations on the symmetric operator.
+
+    Exactly one of ``v0`` (explicit start vector, e.g. the gradient) or
+    ``key`` (seeded random unit start, the reference's
+    ``torch.manual_seed(vector_seed); randn(P)/‖·‖`` at
+    /root/reference/diego_pythia.py:146-149) must be given.
+    """
+    if (v0 is None) == (key is None):
+        raise ValueError("pass exactly one of v0 / key")
+    if v0 is None:
+        v0 = jax.random.normal(key, (dim,), dtype=jnp.float32)
+    v0 = _normalize(v0.astype(jnp.float32))
+    if reorth and not store_basis:
+        raise ValueError("reorth=True requires store_basis=True")
+
+    m = num_iters
+
+    def constrain(q):
+        if basis_sharding is not None:
+            return jax.lax.with_sharding_constraint(q, basis_sharding)
+        return q
+
+    if store_basis:
+        basis0 = jnp.zeros((m, dim), dtype=jnp.float32)
+        basis0 = constrain(basis0.at[0].set(v0))
+    else:
+        basis0 = None
+
+    def step(carry, i):
+        q_prev, q_cur, beta_prev, basis = carry
+        w = matvec(q_cur).astype(jnp.float32)
+        alpha = jnp.vdot(q_cur, w)
+        w = w - alpha * q_cur - beta_prev * q_prev
+        if reorth:
+            # project out all previous basis vectors (rows > i are zero so
+            # masking is implicit); two (m,P) contractions ride the MXU
+            coeffs = basis @ w
+            w = w - basis.T @ coeffs
+            # second pass guards against cancellation (classical CGS2)
+            coeffs2 = basis @ w
+            w = w - basis.T @ coeffs2
+        beta = jnp.linalg.norm(w)
+        q_next = w / jnp.maximum(beta, _EPS)
+        if store_basis:
+            basis = jax.lax.cond(
+                i + 1 < m,
+                lambda b: constrain(
+                    jax.lax.dynamic_update_slice(b, q_next[None, :], (i + 1, 0))
+                ),
+                lambda b: b,
+                basis,
+            )
+        return (q_cur, q_next, beta, basis), (alpha, beta)
+
+    carry0 = (jnp.zeros_like(v0), v0, jnp.float32(0.0), basis0)
+    (_, _, _, basis), (alphas, betas) = jax.lax.scan(
+        step, carry0, jnp.arange(m)
+    )
+    return LanczosResult(alphas=alphas, betas=betas[:-1], basis=basis)
+
+
+def lanczos_checkpointed(
+    matvec: Callable[[jax.Array], jax.Array],
+    dim: int,
+    num_iters: int,
+    *,
+    v0: Optional[jax.Array] = None,
+    key: Optional[jax.Array] = None,
+    callback: Optional[Callable[[int, jnp.ndarray, jnp.ndarray], None]] = None,
+    resume_state: Optional[dict] = None,
+) -> LanczosResult:
+    """Host-driven T-only Lanczos with a per-iteration callback.
+
+    Resumable spectra for crash-prone long runs: the reference saves T every
+    iteration (/root/reference/diego_pythia.py:192 -> save_checkpoint).  Each
+    iteration is one jitted device step; ``callback(i, alphas, betas)``
+    receives host copies for checkpointing.  ``resume_state`` (as produced by
+    ``io.spectra.save_lanczos_state``) continues an interrupted run.
+    """
+    if resume_state is None:
+        if (v0 is None) == (key is None):
+            raise ValueError("pass exactly one of v0 / key")
+        if v0 is None:
+            v0 = jax.random.normal(key, (dim,), dtype=jnp.float32)
+        q_cur = _normalize(v0.astype(jnp.float32))
+        q_prev = jnp.zeros_like(q_cur)
+        beta_prev = jnp.float32(0.0)
+        alphas, betas = [], []
+        start = 0
+    else:
+        q_cur = jnp.asarray(resume_state["q_cur"], jnp.float32)
+        q_prev = jnp.asarray(resume_state["q_prev"], jnp.float32)
+        beta_prev = jnp.float32(resume_state["beta_prev"])
+        alphas = list(resume_state["alphas"])
+        betas = list(resume_state["betas"])
+        start = len(alphas)
+
+    @jax.jit
+    def one_step(q_prev, q_cur, beta_prev):
+        w = matvec(q_cur).astype(jnp.float32)
+        alpha = jnp.vdot(q_cur, w)
+        w = w - alpha * q_cur - beta_prev * q_prev
+        beta = jnp.linalg.norm(w)
+        q_next = w / jnp.maximum(beta, _EPS)
+        return alpha, beta, q_cur, q_next
+
+    for i in range(start, num_iters):
+        alpha, beta, q_prev, q_cur = one_step(q_prev, q_cur, beta_prev)
+        beta_prev = beta
+        alphas.append(alpha)
+        betas.append(beta)
+        if callback is not None:
+            callback(
+                i,
+                jnp.stack(alphas),
+                jnp.stack(betas[:-1]) if len(betas) > 1 else jnp.zeros((0,)),
+            )
+
+    return LanczosResult(
+        alphas=jnp.stack(alphas),
+        betas=jnp.stack(betas[:-1]) if len(betas) > 1 else jnp.zeros((0,)),
+        basis=None,
+    )

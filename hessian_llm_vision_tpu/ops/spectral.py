@@ -1,0 +1,196 @@
+"""Fused rank-k spectral gradient transforms — Pallas TPU kernels.
+
+The reference implements the Lanczos gradient adjustment twice: a Python loop
+over eigenpairs (/root/reference/gpt2_hessian.py:199-203) and a naive CUDA
+kernel that recomputes every dot product per output element — O(k·P²)
+(/root/reference/vector_adjust.cu:1-15, launched by gpt_hessian_cuda.py:7-54).
+The eigenvector-projection optimizer (/root/reference/load_model.py:350-364)
+is the same computation with coefficient −1.
+
+Both are instances of one primitive:
+
+    out = g + Vᵀ · diag(c) · (V @ g)          V: (k, P) row-basis
+
+with c = 1/λ − 1/(λ+δ)  (spectral_adjust — damped-Newton in the Krylov
+subspace, identity elsewhere) or c = −1 (project_out).  The TPU kernel does
+the information-theoretic minimum of HBM traffic: two passes over V (one for
+the k dot products, one for the rank-k AXPY), each tiled through VMEM with
+the (k, TILE)·(TILE,) contractions on the MXU.  A pure-jnp reference path is
+kept for parity tests and as the grad-friendly default on small problems.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+_TILE = 8 * 1024  # P-axis tile per grid step (f32: 32 KB of g, k*32KB of V)
+
+
+def _pad_to(x: jax.Array, n: int, axis: int = -1) -> jax.Array:
+    pad = n - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+# ----------------------------------------------------------------------------
+# pure-jnp reference paths (parity + autodiff-friendly)
+# ----------------------------------------------------------------------------
+
+
+def rank_k_apply_reference(
+    g: jax.Array, basis: jax.Array, coeffs: jax.Array
+) -> jax.Array:
+    """``g + basisᵀ · (coeffs ⊙ (basis @ g))`` in plain XLA ops."""
+    g32 = g.astype(jnp.float32)
+    b32 = basis.astype(jnp.float32)
+    dots = b32 @ g32
+    return g32 + b32.T @ (coeffs.astype(jnp.float32) * dots)
+
+
+def spectral_adjust_reference(
+    g: jax.Array, basis: jax.Array, eigvals: jax.Array, delta: float
+) -> jax.Array:
+    c = 1.0 / eigvals - 1.0 / (eigvals + delta)
+    return rank_k_apply_reference(g, basis, c)
+
+
+def project_out_reference(g: jax.Array, basis: jax.Array) -> jax.Array:
+    return rank_k_apply_reference(g, basis, -jnp.ones(basis.shape[0], jnp.float32))
+
+
+# ----------------------------------------------------------------------------
+# Pallas kernels
+# ----------------------------------------------------------------------------
+
+
+def _dots_kernel(v_ref, g_ref, out_ref):
+    """Accumulate partial dot products c_j += Σ_tile V[j, tile] * g[tile].
+
+    Grid is 1-D over P tiles; TPU grids execute sequentially so the (k, LANE)
+    output block acts as an accumulator across steps.
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    # (k, T) @ (T, LANE) -> (k, LANE); g broadcast into lanes of a thin matmul
+    g_col = g_ref[:].reshape(-1, _LANE)  # (T/LANE, LANE)
+    v = v_ref[:]  # (k, T)
+    k = v.shape[0]
+    vr = v.reshape(k, -1, _LANE)  # (k, T/LANE, LANE)
+    out_ref[:] += jnp.sum(vr * g_col[None, :, :], axis=1)
+
+
+def _axpy_kernel(v_ref, g_ref, c_ref, out_ref):
+    """out[tile] = g[tile] + Σ_j c[j] * V[j, tile]."""
+    v = v_ref[:]  # (k, T)
+    c = c_ref[:]  # (k, LANE) replicated coefficient columns; take col 0
+    coeff = c[:, 0:1]  # (k, 1)
+    out_ref[:] = g_ref[:] + jnp.sum(v * coeff, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _rank_k_apply_pallas(
+    g: jax.Array, basis: jax.Array, coeffs: jax.Array, interpret: bool = False
+) -> jax.Array:
+    k, p = basis.shape
+    p_pad = _round_up(p, _TILE)
+    k_pad = _round_up(max(k, 8), 8)
+    g_p = _pad_to(g.astype(jnp.float32), p_pad)
+    v_p = _pad_to(_pad_to(basis.astype(jnp.float32), p_pad, axis=1), k_pad, axis=0)
+    n_tiles = p_pad // _TILE
+
+    # pass 1: dots (k_pad, LANE) — lane-replicated partial sums, reduced after
+    dots = pl.pallas_call(
+        _dots_kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((k_pad, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (k_pad, _LANE), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((k_pad, _LANE), jnp.float32),
+        interpret=interpret,
+    )(v_p, g_p)
+    c_full = jnp.sum(dots, axis=1)  # (k_pad,)
+    c_full = c_full * _pad_to(coeffs.astype(jnp.float32), k_pad)
+
+    # pass 2: fused rank-k AXPY
+    c_cols = jnp.broadcast_to(c_full[:, None], (k_pad, _LANE))
+    out = pl.pallas_call(
+        _axpy_kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((k_pad, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_pad, _LANE), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((p_pad,), jnp.float32),
+        interpret=interpret,
+    )(v_p, g_p, c_cols)
+    return out[:p]
+
+
+def rank_k_apply(
+    g: jax.Array,
+    basis: jax.Array,
+    coeffs: jax.Array,
+    *,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Dispatch: Pallas TPU kernel on TPU backends, jnp reference elsewhere.
+
+    ``use_pallas=None`` auto-detects.  Problems smaller than one tile gain
+    nothing from the kernel and use the reference path.
+    """
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() not in ("cpu",) and basis.shape[1] >= _TILE
+        )
+    if use_pallas:
+        return _rank_k_apply_pallas(g, basis, coeffs, interpret=interpret)
+    return rank_k_apply_reference(g, basis, coeffs)
+
+
+def spectral_adjust(
+    g: jax.Array,
+    basis: jax.Array,
+    eigvals: jax.Array,
+    delta: float,
+    **kw,
+) -> jax.Array:
+    """Lanczos gradient adjustment ``g + Σᵢ (1/λᵢ − 1/(λᵢ+δ))(vᵢ·g)vᵢ``.
+
+    Semantics of /root/reference/gpt2_hessian.py:199-203 (== the CUDA kernel
+    vector_adjust.cu, minus its O(k·P²) redundancy).
+    """
+    c = 1.0 / eigvals - 1.0 / (eigvals + delta)
+    return rank_k_apply(g, basis, c, **kw)
+
+
+def project_out(g: jax.Array, basis: jax.Array, **kw) -> jax.Array:
+    """Gradient projection ``g − Σᵢ (vᵢ·g)vᵢ`` — the forgetting-suppressor
+    update of /root/reference/load_model.py:350-364.  Exact complement only
+    for an orthonormal basis (Ritz bases are)."""
+    return rank_k_apply(
+        g, basis, -jnp.ones(basis.shape[0], jnp.float32), **kw
+    )

@@ -1,0 +1,41 @@
+"""Test configuration: force CPU with 8 simulated devices.
+
+The reference "tests" multi-GPU only by rerunning scripts with
+CUDA_VISIBLE_DEVICES varied (SURVEY.md §4); the TPU-native equivalent of
+multi-chip-without-a-cluster is XLA's host-platform device simulation, which
+lets mesh/psum/sharding tests run anywhere (SURVEY.md §4 "implication").
+
+Must run before jax initializes its backends, hence env vars at import time.
+"""
+
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# The driver environment pins JAX_PLATFORMS to the TPU tunnel and a
+# sitecustomize pre-imports jax, so the env var alone cannot be overridden
+# here — use the config API, which wins over the env snapshot.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(0)

@@ -1,0 +1,70 @@
+"""Flatten/unflatten round-trip tests (SURVEY.md §4 'implication': unit)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hessian_llm_vision_tpu.utils.flatten import Flattener, tree_size, make_flat_fn
+from hessian_llm_vision_tpu.utils import trees
+
+
+def _tree(key):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "dense": {"kernel": jax.random.normal(k1, (4, 3)), "bias": jnp.zeros((3,))},
+        "scale": jax.random.normal(k2, (5,), dtype=jnp.bfloat16),
+        "out": jax.random.normal(k3, (3, 2)),
+    }
+
+
+def test_roundtrip(key):
+    t = _tree(key)
+    fl = Flattener(t)
+    flat = fl.flatten(t)
+    assert flat.shape == (tree_size(t),)
+    assert flat.dtype == jnp.float32
+    back = fl.unflatten(flat)
+    for a, b in zip(jax.tree_util.tree_leaves(t), jax.tree_util.tree_leaves(back)):
+        assert a.dtype == b.dtype
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), rtol=1e-2
+        )
+
+
+def test_flatten_under_jit(key):
+    t = _tree(key)
+    fl = Flattener(t)
+
+    @jax.jit
+    def f(tree):
+        return fl.flatten(tree) * 2.0
+
+    np.testing.assert_allclose(np.asarray(f(t)), 2 * np.asarray(fl.flatten(t)), rtol=1e-5)
+
+
+def test_make_flat_fn(key):
+    t = _tree(key)
+    double = make_flat_fn(lambda tr: jax.tree_util.tree_map(lambda x: 2 * x, tr), t)
+    fl = Flattener(t)
+    v = fl.flatten(t)
+    np.testing.assert_allclose(np.asarray(double(v)), 2 * np.asarray(v), rtol=1e-2)
+
+
+def test_tree_dot_matches_flat(key):
+    t = _tree(key)
+    fl = Flattener(t)
+    d = trees.tree_dot(t, t)
+    np.testing.assert_allclose(
+        float(d), float(jnp.vdot(fl.flatten(t), fl.flatten(t))), rtol=1e-3
+    )
+
+
+def test_subtree_mask_and_spans(key):
+    t = _tree(key)
+    mask = trees.subtree_mask(t, lambda name: name.startswith("dense"))
+    masked = trees.mask_tree(t, mask)
+    assert float(jnp.abs(masked["out"]).sum()) == 0.0
+    assert float(jnp.abs(masked["dense"]["kernel"]).sum()) > 0.0
+    labels, spans = trees.partition_labels(t)
+    assert len(labels) == len(spans) == len(jax.tree_util.tree_leaves(t))
+    assert sum(s for _, s in spans) == tree_size(t)

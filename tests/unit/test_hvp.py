@@ -1,0 +1,168 @@
+"""HVP engine vs dense Hessian / finite differences (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hessian_llm_vision_tpu.curvature import (
+    hvp,
+    HessianOperator,
+    DatasetHessianOperator,
+    LayerHessianOperator,
+    BlockDiagonalOperator,
+    GGNOperator,
+)
+from hessian_llm_vision_tpu.curvature.ggn import EmpiricalFisherOperator
+from hessian_llm_vision_tpu.utils.flatten import Flattener
+from hessian_llm_vision_tpu.utils import trees
+
+
+def _mlp_params(key):
+    k1, k2 = jax.random.split(key)
+    return {
+        "w1": jax.random.normal(k1, (3, 8)) * 0.5,
+        "w2": jax.random.normal(k2, (8, 2)) * 0.5,
+    }
+
+
+def _loss(params, batch):
+    x, y = batch
+    h = jnp.tanh(x @ params["w1"])
+    logits = h @ params["w2"]
+    logp = jax.nn.log_softmax(logits)
+    return -jnp.mean(jnp.sum(jax.nn.one_hot(y, 2) * logp, axis=-1))
+
+
+def _batch(key, n=16):
+    kx, ky = jax.random.split(key)
+    x = jax.random.normal(kx, (n, 3))
+    y = jax.random.randint(ky, (n,), 0, 2)
+    return x, y
+
+
+def _dense_hessian(loss, params, batch):
+    fl = Flattener(params)
+
+    def flat_loss(v):
+        return loss(fl.unflatten(v), batch)
+
+    return jax.hessian(flat_loss)(fl.flatten(params)), fl
+
+
+def test_hvp_matches_dense(key):
+    params = _mlp_params(key)
+    batch = _batch(jax.random.fold_in(key, 1))
+    H, fl = _dense_hessian(_loss, params, batch)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (fl.size,))
+    out = hvp(_loss, params, batch, fl.unflatten(v))
+    np.testing.assert_allclose(np.asarray(fl.flatten(out)), np.asarray(H @ v), atol=3e-3)
+
+
+def test_operator_symmetry_and_normalization(key):
+    params = _mlp_params(key)
+    batch = _batch(jax.random.fold_in(key, 1), n=8)
+    op_mean = HessianOperator(_loss, params, batch)
+    op_sum = HessianOperator(
+        _loss, params, batch, normalization="sum", batch_size=8
+    )
+    v = jax.random.normal(jax.random.fold_in(key, 3), (op_mean.dim,))
+    u = jax.random.normal(jax.random.fold_in(key, 4), (op_mean.dim,))
+    # symmetry <u, Hv> == <Hu, v>
+    np.testing.assert_allclose(
+        float(jnp.vdot(u, op_mean(v))), float(jnp.vdot(op_mean(u), v)), rtol=1e-3, atol=1e-5
+    )
+    # sum convention = 8 * mean convention (gpt2_hessian.py:88 semantics)
+    np.testing.assert_allclose(
+        np.asarray(op_sum(v)), 8 * np.asarray(op_mean(v)), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_dataset_operator_equals_stacked_mean(key):
+    params = _mlp_params(key)
+    # 4 batches of 4 == one batch of 16 under dataset-mean normalization
+    big = _batch(jax.random.fold_in(key, 1), n=16)
+    batches = (big[0].reshape(4, 4, 3), big[1].reshape(4, 4))
+    op_ds = DatasetHessianOperator(_loss, params, batches, remat=False)
+    op_big = HessianOperator(_loss, params, big)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (op_ds.dim,))
+    np.testing.assert_allclose(
+        np.asarray(op_ds(v)), np.asarray(op_big(v)), rtol=1e-3, atol=1e-5
+    )
+
+
+def test_layer_operator_is_diagonal_block(key):
+    params = _mlp_params(key)
+    batch = _batch(jax.random.fold_in(key, 1))
+    H, fl = _dense_hessian(_loss, params, batch)
+    mask = trees.subtree_mask(params, lambda n: n == "w1")
+    op = LayerHessianOperator(_loss, params, batch, mask)
+    labels, spans = trees.partition_labels(params)
+    off, size = spans[labels.index("w1")]
+    proj = np.zeros((fl.size,))
+    proj[off : off + size] = 1.0
+    Hblock = H * proj[:, None] * proj[None, :]
+    v = jax.random.normal(jax.random.fold_in(key, 2), (fl.size,))
+    np.testing.assert_allclose(
+        np.asarray(op(v)), np.asarray(Hblock @ v), atol=3e-3
+    )
+
+
+def test_block_diagonal_operator(key):
+    params = _mlp_params(key)
+    batch = _batch(jax.random.fold_in(key, 1))
+    H, fl = _dense_hessian(_loss, params, batch)
+    labels, spans = trees.partition_labels(params)
+    Hbd = np.zeros_like(np.asarray(H))
+    for off, size in spans:
+        Hbd[off : off + size, off : off + size] = np.asarray(H)[
+            off : off + size, off : off + size
+        ]
+    op = BlockDiagonalOperator(_loss, params, batch)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (fl.size,))
+    np.testing.assert_allclose(np.asarray(op(v)), Hbd @ np.asarray(v), atol=3e-3)
+
+
+def test_ggn_psd_and_symmetric(key):
+    params = _mlp_params(key)
+    batch = _batch(jax.random.fold_in(key, 1))
+
+    def model_fn(p, b):
+        x, _ = b
+        return jnp.tanh(x @ p["w1"]) @ p["w2"]
+
+    def out_loss(logits, b):
+        _, y = b
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.mean(jnp.sum(jax.nn.one_hot(y, 2) * logp, axis=-1))
+
+    op = GGNOperator(model_fn, out_loss, params, batch)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (op.dim,))
+    u = jax.random.normal(jax.random.fold_in(key, 3), (op.dim,))
+    assert float(jnp.vdot(v, op(v))) >= -1e-5  # PSD
+    np.testing.assert_allclose(
+        float(jnp.vdot(u, op(v))), float(jnp.vdot(op(u), v)), rtol=1e-3, atol=1e-5
+    )
+
+
+def test_empirical_fisher(key):
+    params = _mlp_params(key)
+    batch = _batch(jax.random.fold_in(key, 1), n=4)
+
+    def per_ex_loss(p, ex):
+        x, y = ex
+        h = jnp.tanh(x[None] @ p["w1"])
+        logits = h @ p["w2"]
+        logp = jax.nn.log_softmax(logits)
+        return -jnp.sum(jax.nn.one_hot(y, 2) * logp)
+
+    fl = Flattener(params)
+    grads = np.stack(
+        [
+            np.asarray(fl.flatten(jax.grad(per_ex_loss)(params, (batch[0][i], batch[1][i]))))
+            for i in range(4)
+        ]
+    )
+    F = grads.T @ grads / 4
+    op = EmpiricalFisherOperator(per_ex_loss, params, batch)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (op.dim,))
+    np.testing.assert_allclose(np.asarray(op(v)), F @ np.asarray(v), atol=3e-3)
