@@ -46,6 +46,10 @@ def _scaled_loss_fn(
 ):
     """Wrap a mean-reduction loss into the requested normalization."""
     norm = Normalization(normalization)
+    if norm is Normalization.SUM and batch_size is None:
+        raise ValueError('normalization="sum" requires batch_size')
+    if norm is Normalization.DATASET and (batch_size is None or dataset_size is None):
+        raise ValueError('normalization="dataset" requires batch_size and dataset_size')
 
     def scaled(params):
         loss = loss_fn(params, batch)

@@ -61,6 +61,23 @@ def _normalize(v: jax.Array) -> jax.Array:
     return v / jnp.maximum(jnp.linalg.norm(v), _EPS)
 
 
+def _sharding_divisor(sharding) -> int:
+    """Product of mesh-axis sizes the sharding assigns to the P axis (the
+    last dim of the (k, P) basis)."""
+    try:
+        spec = sharding.spec
+        mesh = sharding.mesh
+    except AttributeError:
+        return 1
+    if len(spec) < 2 or spec[1] is None:
+        return 1
+    axes = spec[1] if isinstance(spec[1], tuple) else (spec[1],)
+    div = 1
+    for ax in axes:
+        div *= mesh.shape[ax]
+    return div
+
+
 def lanczos(
     matvec: Callable[[jax.Array], jax.Array],
     dim: int,
@@ -88,6 +105,23 @@ def lanczos(
         raise ValueError("reorth=True requires store_basis=True")
 
     m = num_iters
+
+    # Pad P to a multiple of the sharded-axis size so the basis can shard
+    # evenly; the pad region provably stays zero through the recurrence.
+    pad = 0
+    if basis_sharding is not None:
+        div = _sharding_divisor(basis_sharding)
+        if div > 1 and dim % div:
+            pad = div - dim % div
+    if pad:
+        inner_matvec = matvec
+        true_dim = dim
+
+        def matvec(v):  # noqa: F811
+            return jnp.pad(inner_matvec(v[:true_dim]), (0, pad))
+
+        v0 = jnp.pad(v0, (0, pad))
+        dim = dim + pad
 
     def constrain(q):
         if basis_sharding is not None:
@@ -130,6 +164,8 @@ def lanczos(
     (_, _, _, basis), (alphas, betas) = jax.lax.scan(
         step, carry0, jnp.arange(m)
     )
+    if pad and basis is not None:
+        basis = basis[:, : dim - pad]
     return LanczosResult(alphas=alphas, betas=betas[:-1], basis=basis)
 
 

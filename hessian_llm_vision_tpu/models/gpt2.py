@@ -1,0 +1,158 @@
+"""GPT-2 decoder, TPU-first flax implementation.
+
+Capability parity with the reference's HF ``GPT2LMHeadModel`` usage — from
+scratch configs ``GPT2Config(vocab_size=len(tokenizer), n_positions=32/512)``
+(/root/reference/gpt2.py:56-57, gpt2_hessian.py:131-132) and the pretrained
+'gpt2'/'distilgpt2' checkpoints (ipynbs/cola-gpt2.ipynb cell 0).
+
+TPU-first choices (not a port of HF modeling_gpt2):
+* all matmuls via einsum with ``preferred dtype`` control so the MXU runs
+  bf16 with f32 accumulation; params stay f32 (curvature needs f32 masters);
+* attention uses one fused einsum pair + causal mask under ``jnp.where`` —
+  static shapes, no KV cache (this is a training/curvature framework);
+* weight tying (wte == lm_head) as in GPT-2, implemented by reusing the
+  embedding matrix in the output projection — halves P for the Hessian;
+* no dropout by default: every curvature computation in the reference runs
+  ``model.eval()`` (gpt2_hessian.py:73-75), and deterministic losses keep
+  HVPs symmetric.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class GPT2Config:
+    vocab_size: int = 50257
+    n_positions: int = 1024
+    n_embd: int = 768
+    n_layer: int = 12
+    n_head: int = 12
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32  # compute dtype; params always f32
+    tie_word_embeddings: bool = True
+
+    @property
+    def head_dim(self) -> int:
+        return self.n_embd // self.n_head
+
+    @staticmethod
+    def gpt2_124m(**overrides) -> "GPT2Config":
+        return dataclasses.replace(GPT2Config(), **overrides)
+
+    @staticmethod
+    def tiny(**overrides) -> "GPT2Config":
+        """Test-scale config (used across the test suite)."""
+        base = GPT2Config(
+            vocab_size=256, n_positions=64, n_embd=32, n_layer=2, n_head=2
+        )
+        return dataclasses.replace(base, **overrides)
+
+
+class CausalSelfAttention(nn.Module):
+    config: GPT2Config
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        cfg = self.config
+        B, T, C = x.shape
+        qkv = nn.Dense(3 * C, dtype=cfg.dtype, name="c_attn")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(B, T, cfg.n_head, cfg.head_dim)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        scale = 1.0 / jnp.sqrt(jnp.asarray(cfg.head_dim, jnp.float32))
+        att = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+        mask = jnp.tril(jnp.ones((T, T), dtype=bool))
+        att = jnp.where(mask[None, None], att, jnp.finfo(jnp.float32).min)
+        att = jax.nn.softmax(att, axis=-1).astype(cfg.dtype)
+        y = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(B, T, C)
+        y = nn.Dense(C, dtype=cfg.dtype, name="c_proj")(y)
+        if cfg.dropout > 0:
+            y = nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
+        return y
+
+
+class MLPBlock(nn.Module):
+    config: GPT2Config
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        cfg = self.config
+        h = nn.Dense(4 * cfg.n_embd, dtype=cfg.dtype, name="c_fc")(x)
+        h = nn.gelu(h, approximate=True)
+        h = nn.Dense(cfg.n_embd, dtype=cfg.dtype, name="c_proj")(h)
+        if cfg.dropout > 0:
+            h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
+        return h
+
+
+class Block(nn.Module):
+    config: GPT2Config
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        cfg = self.config
+        x = x + CausalSelfAttention(cfg, name="attn")(
+            nn.LayerNorm(dtype=cfg.dtype, name="ln_1")(x), deterministic
+        )
+        x = x + MLPBlock(cfg, name="mlp")(
+            nn.LayerNorm(dtype=cfg.dtype, name="ln_2")(x), deterministic
+        )
+        return x
+
+
+class GPT2LMHead(nn.Module):
+    """GPT-2 with LM head; returns logits (B, T, vocab)."""
+
+    config: GPT2Config
+
+    @nn.compact
+    def __call__(self, input_ids, deterministic=True):
+        cfg = self.config
+        B, T = input_ids.shape
+        wte = self.param(
+            "wte",
+            nn.initializers.normal(0.02),
+            (cfg.vocab_size, cfg.n_embd),
+            jnp.float32,
+        )
+        wpe = self.param(
+            "wpe",
+            nn.initializers.normal(0.01),
+            (cfg.n_positions, cfg.n_embd),
+            jnp.float32,
+        )
+        x = wte[input_ids].astype(cfg.dtype) + wpe[:T][None].astype(cfg.dtype)
+        for i in range(cfg.n_layer):
+            x = Block(cfg, name=f"h_{i}")(x, deterministic)
+        x = nn.LayerNorm(dtype=cfg.dtype, name="ln_f")(x)
+        if cfg.tie_word_embeddings:
+            logits = jnp.einsum("btc,vc->btv", x, wte.astype(cfg.dtype))
+        else:
+            logits = nn.Dense(cfg.vocab_size, use_bias=False, name="lm_head")(x)
+        return logits.astype(jnp.float32)
+
+    def init_params(self, rng, batch_size: int = 1, seq_len: int | None = None):
+        T = seq_len or min(self.config.n_positions, 16)
+        dummy = jnp.zeros((batch_size, T), jnp.int32)
+        return self.init(rng, dummy)["params"]
+
+
+def num_params(config: GPT2Config) -> int:
+    """Closed-form parameter count (sanity against 124M)."""
+    c, v, p, l = config.n_embd, config.vocab_size, config.n_positions, config.n_layer
+    per_block = (3 * c * c + 3 * c) + (c * c + c) + (4 * c * c + 4 * c) + (
+        4 * c * c + c
+    ) + 4 * c
+    total = v * c + p * c + l * per_block + 2 * c
+    if not config.tie_word_embeddings:
+        total += v * c
+    return total

@@ -1,0 +1,122 @@
+"""Generic training loop.
+
+The reference fuses epoch×batch loops ad hoc into every script
+(/root/reference/train_lanczos.py:223-320, gpt2_hessian_cpu.py:183-263,
+accum.py:138-234, gpt2_multigpu.py:103-115).  Here: ONE host loop driving a
+jitted step.  Two step families plug in:
+
+* optax-based first-order steps (``make_train_step``) — vanilla SGD/Adam
+  baselines (gpt2_multigpu.py), with optional micro-batch accumulation;
+* state-carrying spectrum-aware steps from ``optim.lanczos_sgd``.
+
+The host loop only moves data and logs; every FLOP is inside the jitted
+step (donated state — no buffer copies between steps).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Iterable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_train_step(
+    loss_fn: Callable[[Any, Any], jax.Array],
+    optimizer: optax.GradientTransformation,
+    *,
+    accum_steps: int = 1,
+):
+    """Standard optax step; ``accum_steps>1`` scans micro-batches
+    (leading axis of the batch pytree) inside the jitted step
+    (accum.py:138-234 semantics)."""
+
+    def init_fn(params) -> TrainState:
+        return TrainState(
+            params=params,
+            opt_state=optimizer.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def step_fn(state: TrainState, batch):
+        if accum_steps == 1:
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+        else:
+
+            def body(acc, micro):
+                l, g = jax.value_and_grad(loss_fn)(state.params, micro)
+                return (
+                    acc[0] + l,
+                    jax.tree_util.tree_map(jnp.add, acc[1], g),
+                ), None
+
+            zero = (
+                jnp.zeros((), jnp.float32),
+                jax.tree_util.tree_map(jnp.zeros_like, state.params),
+            )
+            (loss, grads), _ = jax.lax.scan(body, zero, batch)
+            loss = loss / accum_steps
+            grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grads)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return init_fn, step_fn
+
+
+def train(
+    step_fn,
+    state,
+    batches: Iterable[Any],
+    *,
+    num_epochs: int = 1,
+    log_every: int = 10,
+    on_log: Optional[Callable[[int, Dict[str, float]], None]] = None,
+    on_epoch_end: Optional[Callable[[int, Any], None]] = None,
+    ema_decay: float = 0.99,
+    donate: bool = True,
+) -> Any:
+    """Drive any ``step_fn(state, batch) -> (state, metrics)``.
+
+    ``batches``: an iterable (re-iterable across epochs) of device-ready
+    batches.  Tracks the reference's EMA loss (0.99 decay,
+    gpt2_hessian_gpu.py:268-276) and per-step wall-clock.  Returns the
+    final state.
+    """
+    jit_step = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    ema_loss = None
+    global_step = 0
+    for epoch in range(num_epochs):
+        for batch in batches:
+            t0 = time.perf_counter()
+            state, metrics = jit_step(state, batch)
+            loss = float(metrics["loss"])
+            dt = time.perf_counter() - t0
+            ema_loss = loss if ema_loss is None else (
+                ema_decay * ema_loss + (1 - ema_decay) * loss
+            )
+            if on_log is not None and global_step % log_every == 0:
+                host = {k: float(np.asarray(v).reshape(-1)[0]) if np.asarray(v).size else 0.0
+                        for k, v in metrics.items()}
+                host["ema_loss"] = ema_loss
+                host["step_time"] = dt
+                on_log(global_step, host)
+            global_step += 1
+        if on_epoch_end is not None:
+            on_epoch_end(epoch, state)
+    return state
