@@ -1,0 +1,109 @@
+"""Headline benchmark — runs on real TPU hardware (no platform override).
+
+Workload: the reference's post-hoc spectrum job (gpt2_savehessian.py with
+its defaults: GPT-2 124M, batch_size=16, max_length=512, subsample=1e-4 of
+wikipedia-simple ~= 2 batches) — a 35-iteration Lanczos tridiagonalization
+where every matvec is a dataset-averaged HVP over the loader, exactly the
+BASELINE.json north-star config ("35-iter Lanczos spectrum of GPT-2 124M
+(subsample=1e-4) in <5 min on v5e-8").
+
+Random token ids stand in for the wikipedia batches (identical shapes /
+FLOPs; no network egress here).  This machine exposes ONE chip, so we run
+the whole job single-chip and report wall-clock; ``vs_baseline`` is the
+5-minute v5e-8 budget divided by our single-chip time (>1.0 means the
+target is beaten on 1/8th of the target hardware).
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    from hessian_llm_vision_tpu.curvature import DatasetHessianOperator
+    from hessian_llm_vision_tpu.krylov import lanczos, ritz_decomposition
+    from hessian_llm_vision_tpu.models import GPT2Config, GPT2LMHead, losses
+    from hessian_llm_vision_tpu.data import random_token_batches
+
+    num_batches, batch_size, seq_len, iters = 2, 16, 512, 35
+
+    cfg = GPT2Config.gpt2_124m(n_positions=seq_len, dtype=jnp.bfloat16)
+    model = GPT2LMHead(cfg)
+    params = model.init_params(jax.random.PRNGKey(0), seq_len=seq_len)
+    loss_fn = losses.lm_loss_fn(model)
+
+    data = random_token_batches(
+        num_batches, batch_size, seq_len, cfg.vocab_size, seed=0
+    )
+    batches = {"input_ids": jnp.asarray(data["input_ids"])}
+
+    op = DatasetHessianOperator(
+        loss_fn,
+        params,
+        batches,
+        normalization="dataset",
+        batch_size=batch_size,
+        dataset_size=num_batches * batch_size,
+        remat=True,
+    )
+
+    # Single chip: T-only memory-light mode (the reference's own approach at
+    # scale, diego_pythia.py:157-192) — the 35 x 124M f32 basis is 17.4 GB,
+    # which only fits when SHARDED over a v5e-8 (2.2 GB/chip; that path is
+    # exercised by dryrun_multichip and tests/distributed).  HVP throughput,
+    # the cost driver, is identical in both modes.
+    @jax.jit
+    def spectrum(key):
+        res = lanczos(
+            op.matvec, op.dim, iters, key=key, reorth=False, store_basis=False
+        )
+        spec = ritz_decomposition(res)
+        return spec.eigvals, spec.gammas
+
+    # compile (excluded — the reference timers also exclude torch warmup)
+    import sys
+
+    t_c = time.perf_counter()
+    ev, ga = spectrum(jax.random.PRNGKey(42))
+    jax.block_until_ready(ev)
+    print(
+        f"[bench] compile+first-run {time.perf_counter() - t_c:.1f}s on "
+        f"{jax.default_backend()}",
+        file=sys.stderr,
+    )
+
+    t0 = time.perf_counter()
+    ev, ga = spectrum(jax.random.PRNGKey(7))
+    jax.block_until_ready(ev)
+    wall = time.perf_counter() - t0
+
+    num_hvps = iters * num_batches
+    result = {
+        "metric": "gpt2_124m_35iter_lanczos_spectrum_wallclock_single_chip",
+        "value": round(wall, 3),
+        "unit": "seconds",
+        "vs_baseline": round(300.0 / wall, 2),
+        "extra": {
+            "hvps_per_sec": round(num_hvps / wall, 3),
+            "num_hvps": num_hvps,
+            "batch_size": batch_size,
+            "seq_len": seq_len,
+            "lambda_max": float(ev[-1]),
+            "lambda_min": float(ev[0]),
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+            "baseline": "BASELINE.json north star: <300 s on v5e-8 (8 chips); "
+            "we run the full job on ONE chip",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

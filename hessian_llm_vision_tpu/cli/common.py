@@ -1,0 +1,267 @@
+"""Shared model/data/loss construction for the CLI entries.
+
+The reference is script-per-experiment (~30 scripts each re-pasting the
+same pipeline, SURVEY.md §0); every CLI here goes through this registry
+instead.  Works fully offline: LM datasets fall back to seeded random
+tokens when the HF cache is unavailable (zero-egress environment), vision
+to the mounted MNIST / synthetic generators.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class Workload:
+    name: str
+    model: Any
+    params: Any
+    loss_fn: Callable[[Any, Any], jax.Array]
+    batches: list  # list of device-ready batches
+    batch_size: int
+    apply_fn: Optional[Callable] = None  # classifier apply for accuracy eval
+    labels: Optional[Any] = None
+
+
+def _lm_batches(args, vocab_size) -> list:
+    from hessian_llm_vision_tpu.data import random_token_batches
+
+    made = False
+    if args.dataset == "wikipedia":
+        try:
+            from transformers import GPT2TokenizerFast
+
+            from hessian_llm_vision_tpu.data import load_lm_dataset
+
+            tok = GPT2TokenizerFast.from_pretrained("gpt2")
+            stacked = load_lm_dataset(
+                "wikipedia",
+                "20220301.simple",
+                tokenizer=tok,
+                subsample=args.subsample,
+                seed=args.data_seed,
+                max_length=args.max_length,
+                batch_size=args.batch_size,
+            )
+            made = True
+        except Exception as e:  # offline fallback
+            print(f"[data] wikipedia unavailable ({type(e).__name__}); "
+                  "falling back to seeded random tokens")
+    if not made:
+        n_batches = max(1, int(args.num_batches))
+        stacked = random_token_batches(
+            n_batches,
+            args.batch_size,
+            args.max_length,
+            vocab_size,
+            seed=args.data_seed,
+        )
+    n = stacked["input_ids"].shape[0]
+    return [
+        {k: jnp.asarray(v[i]) for k, v in stacked.items()} for i in range(n)
+    ]
+
+
+def build_workload(args) -> Workload:
+    from hessian_llm_vision_tpu.models import (
+        GPT2Config,
+        GPT2LMHead,
+        NeoXLMHead,
+        PYTHIA_CONFIGS,
+        SimpleNet,
+        SpiralMLP,
+        VGG16,
+        ResNet50,
+        losses,
+    )
+
+    key = jax.random.PRNGKey(args.seed)
+    name = args.model
+
+    if name.startswith("gpt2"):
+        cfg = (
+            GPT2Config.tiny(n_positions=max(64, args.max_length))
+            if name == "gpt2-tiny"
+            else GPT2Config.gpt2_124m(
+                n_positions=max(args.max_length, 32),
+                dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+            )
+        )
+        model = GPT2LMHead(cfg)
+        params = model.init_params(key, seq_len=min(16, args.max_length))
+        if args.checkpoint:
+            from hessian_llm_vision_tpu.io import load_checkpoint
+
+            params = load_checkpoint(args.checkpoint, template=params)
+        return Workload(
+            name,
+            model,
+            params,
+            losses.lm_loss_fn(model),
+            _lm_batches(args, cfg.vocab_size),
+            args.batch_size,
+        )
+
+    if name.startswith("pythia"):
+        cfg = PYTHIA_CONFIGS[name]
+        if args.bf16:
+            cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
+        model = NeoXLMHead(cfg)
+        params = model.init_params(key, seq_len=min(16, args.max_length))
+        if args.checkpoint:
+            from hessian_llm_vision_tpu.io import load_checkpoint
+
+            params = load_checkpoint(args.checkpoint, template=params)
+        return Workload(
+            name,
+            model,
+            params,
+            losses.lm_loss_fn(model),
+            _lm_batches(args, cfg.vocab_size),
+            args.batch_size,
+        )
+
+    if name in ("mlp", "spiral"):
+        from hessian_llm_vision_tpu.data import make_spirals
+
+        x, y = make_spirals(
+            args.num_points, noise=args.spiral_noise, seed=args.data_seed
+        )
+        model = SpiralMLP(width=args.width, depth=args.depth)
+        params = model.init(key, x[:4])["params"]
+
+        def loss_fn(p, b):
+            return losses.softmax_cross_entropy(
+                model.apply({"params": p}, b[0]), b[1]
+            )
+
+        n = (len(x) // args.batch_size) * args.batch_size
+        xs = jnp.asarray(x[:n]).reshape(-1, args.batch_size, 2)
+        ys = jnp.asarray(y[:n]).reshape(-1, args.batch_size)
+        return Workload(
+            name,
+            model,
+            params,
+            loss_fn,
+            [(xs[i], ys[i]) for i in range(xs.shape[0])],
+            args.batch_size,
+            apply_fn=lambda p, xx: model.apply({"params": p}, xx),
+        )
+
+    if name in ("simplenet", "mnist"):
+        from hessian_llm_vision_tpu.data import load_mnist
+
+        x, y = load_mnist("test")
+        sel = slice(0, int(len(x) * args.subsample) or args.batch_size)
+        x, y = x[sel], y[sel]
+        model = SimpleNet()
+        params = model.init(key, jnp.zeros((1, 28, 28, 1)))["params"]
+
+        def loss_fn(p, b):
+            return losses.softmax_cross_entropy(
+                model.apply({"params": p}, b[0]), b[1]
+            )
+
+        n = (len(x) // args.batch_size) * args.batch_size
+        xs = jnp.asarray(x[:n]).reshape(-1, args.batch_size, 28, 28, 1)
+        ys = jnp.asarray(y[:n]).reshape(-1, args.batch_size)
+        return Workload(
+            name,
+            model,
+            params,
+            loss_fn,
+            [(xs[i], ys[i]) for i in range(xs.shape[0])],
+            args.batch_size,
+            apply_fn=lambda p, xx: model.apply({"params": p}, xx),
+        )
+
+    if name in ("vgg16", "resnet50"):
+        from hessian_llm_vision_tpu.data import (
+            get_class_subset,
+            load_cifar10,
+            random_image_batches,
+        )
+
+        try:
+            x, y = load_cifar10("train")
+            if args.classes:
+                x, y = get_class_subset(x, y, args.classes)
+            n_take = int(len(x) * args.subsample) or args.batch_size
+            x, y = x[:n_take], y[:n_take]
+            num_classes = len(args.classes) if args.classes else 10
+        except FileNotFoundError:
+            print("[data] CIFAR-10 unavailable; falling back to random images")
+            nb = max(1, int(args.num_batches))
+            xb, yb = random_image_batches(nb, args.batch_size, seed=args.data_seed)
+            x = xb.reshape(-1, 32, 32, 3)
+            y = yb.reshape(-1)
+            num_classes = 10
+        if name == "vgg16":
+            model = VGG16(num_classes=num_classes)
+            params = model.init(key, jnp.zeros((1, 32, 32, 3)))["params"]
+
+            def loss_fn(p, b):
+                return losses.softmax_cross_entropy(
+                    model.apply({"params": p}, b[0]), b[1]
+                )
+        else:
+            model = ResNet50(num_classes=num_classes)
+            variables = model.init(
+                key, jnp.zeros((1, 32, 32, 3)), use_running_average=False
+            )
+            params = variables["params"]
+            loss_fn = losses.classification_loss_fn_bn(
+                model, variables["batch_stats"], bn_train_mode=args.bn_train_mode
+            )
+        n = (len(x) // args.batch_size) * args.batch_size
+        xs = jnp.asarray(x[:n]).reshape(-1, args.batch_size, 32, 32, 3)
+        ys = jnp.asarray(y[:n]).reshape(-1, args.batch_size)
+        return Workload(
+            name,
+            model,
+            params,
+            loss_fn,
+            [(xs[i], ys[i]) for i in range(xs.shape[0])],
+            args.batch_size,
+        )
+
+    raise ValueError(f"unknown model {name!r}")
+
+
+def add_common_args(parser) -> None:
+    """Flag names follow the reference argparse surface
+    (accum.py:15-28, gpt2_savehessian.py:12-19, train_savespec.py:23-42)."""
+    parser.add_argument("--model", default="gpt2-tiny",
+                        help="gpt2 | gpt2-tiny | pythia-70m | pythia-160m | "
+                        "pythia-1.4b | spiral | simplenet | vgg16 | resnet50")
+    parser.add_argument("--dataset", default="random",
+                        help="wikipedia | random (LM); builtin for vision")
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--subsample", type=float, default=1.0)
+    parser.add_argument("--max_length", type=int, default=64)
+    parser.add_argument("--num_batches", type=int, default=4,
+                        help="batches for synthetic fallbacks")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--data_seed", type=int, default=42)
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--bn_train_mode", action="store_true")
+    parser.add_argument("--classes", type=int, nargs="*", default=None)
+    parser.add_argument("--width", type=int, default=64)
+    parser.add_argument("--depth", type=int, default=3)
+    parser.add_argument("--num_points", type=int, default=600)
+    parser.add_argument("--spiral_noise", type=float, default=0.2)
+    parser.add_argument("--out", default="runs")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force CPU backend (useful under the TPU tunnel)")
+
+
+def maybe_force_cpu(args) -> None:
+    if getattr(args, "cpu", False):
+        jax.config.update("jax_platforms", "cpu")

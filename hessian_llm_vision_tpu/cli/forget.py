@@ -1,0 +1,161 @@
+"""Catastrophic-forgetting (eigenvector-projection) experiment.
+
+The reference's load_model.py in one CLI: train on task A, save its
+Hessian eigenbasis, then train on task B twice — plain SGD baseline vs
+SGD with ``g ← g − Σ(vᵢᵀg)vᵢ`` projection over task A's basis — tracking
+task-A accuracy per step both times (load_model.py:232-401); results to
+an npz of forgetting curves (load_model.py:404).
+
+Runs on CIFAR-10 class subsets when available, spirals otherwise.
+
+Example:
+  python -m hessian_llm_vision_tpu.cli.forget --model spiral --epochs_a 30 \
+      --epochs_b 30 --k 10 --out_curves /tmp/forget.npz --cpu
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from hessian_llm_vision_tpu.cli.common import add_common_args, maybe_force_cpu
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p)
+    p.add_argument("--lr", type=float, default=0.1)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--epochs_a", type=int, default=30)
+    p.add_argument("--epochs_b", type=int, default=30)
+    p.add_argument("--k", type=int, default=10, help="eigenbasis size")
+    p.add_argument("--dataset_a", type=int, nargs="*", default=[0, 1, 2, 3, 4])
+    p.add_argument("--dataset_b", type=int, nargs="*", default=[5, 6, 7, 8, 9])
+    p.add_argument("--out_curves", default=None)
+    return p
+
+
+def _tasks(args, key):
+    """Two tasks with a SHARED head: (x_a, y_a), (x_b, y_b)."""
+    from hessian_llm_vision_tpu.models import SpiralMLP, losses
+
+    if args.model in ("vgg16", "resnet50"):
+        from hessian_llm_vision_tpu.data import get_class_subset, load_cifar10
+        from hessian_llm_vision_tpu.models import VGG16
+
+        x, y = load_cifar10("train")
+        xa, ya = get_class_subset(x, y, args.dataset_a)
+        xb, yb = get_class_subset(x, y, args.dataset_b)
+        n = int(len(xa) * args.subsample) or 256
+        xa, ya, xb, yb = xa[:n], ya[:n], xb[:n], yb[:n]
+        model = VGG16(num_classes=len(args.dataset_a), classifier_width=256)
+        params = model.init(key, jnp.zeros((1, 32, 32, 3)))["params"]
+    else:
+        # spirals: task A = 3 spirals, task B = same geometry rotated
+        from hessian_llm_vision_tpu.data import make_spirals
+
+        xa, ya = make_spirals(args.num_points, seed=args.data_seed)
+        xb, yb = make_spirals(args.num_points, seed=args.data_seed + 1)
+        xb = -xb  # distinct task, same label space
+        model = SpiralMLP(width=args.width, depth=args.depth)
+        params = model.init(key, xa[:4])["params"]
+
+    def loss_fn(p, b):
+        from hessian_llm_vision_tpu.models import losses
+
+        return losses.softmax_cross_entropy(model.apply({"params": p}, b[0]), b[1])
+
+    def acc_fn(p, x, y):
+        pred = jnp.argmax(model.apply({"params": p}, jnp.asarray(x)), -1)
+        return float(jnp.mean(pred == jnp.asarray(y)))
+
+    return model, params, loss_fn, acc_fn, (xa, ya), (xb, yb)
+
+
+def _train_phase(loss_fn, tx, params, batch, epochs, track):
+    state = tx.init(params)
+
+    @jax.jit
+    def step(p, s, b):
+        l, g = jax.value_and_grad(loss_fn)(p, b)
+        u, s = tx.update(g, s, p)
+        return optax.apply_updates(p, u), s, l
+
+    curve = []
+    for _ in range(epochs):
+        params, state, l = step(params, state, batch)
+        curve.append(track(params))
+    return params, curve
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    maybe_force_cpu(args)
+
+    from hessian_llm_vision_tpu.curvature import HessianOperator
+    from hessian_llm_vision_tpu.krylov import lanczos, ritz_decomposition
+    from hessian_llm_vision_tpu.optim import project_gradients, sgd_momentum
+    from hessian_llm_vision_tpu.utils.flatten import Flattener
+
+    key = jax.random.PRNGKey(args.seed)
+    model, params0, loss_fn, acc_fn, (xa, ya), (xb, yb) = _tasks(args, key)
+    batch_a = (jnp.asarray(xa), jnp.asarray(ya))
+    batch_b = (jnp.asarray(xb), jnp.asarray(yb))
+
+    # phase 0: train task A
+    tx = sgd_momentum(args.lr, args.momentum)
+    params_a, _ = _train_phase(
+        loss_fn, tx, params0, batch_a, args.epochs_a, lambda p: 0.0
+    )
+    acc_a0 = acc_fn(params_a, xa, ya)
+    print(f"task A trained: acc_A = {acc_a0:.3f}")
+
+    # eigenbasis of task A's Hessian (the saved eigenspace.pth role)
+    fl = Flattener(params_a)
+    op = HessianOperator(loss_fn, params_a, batch_a, flattener=fl)
+    res = lanczos(
+        op.matvec, op.dim, args.k, key=jax.random.fold_in(key, 1), reorth=True
+    )
+    spec = ritz_decomposition(res, with_vectors=True)
+    basis = spec.ritz_vectors
+    print(f"task A eigenbasis: k={args.k}, lambda_max={float(spec.eigvals[-1]):.3f}")
+
+    # phase 1: baseline SGD on task B, tracking task-A accuracy
+    track = lambda p: acc_fn(p, xa, ya)
+    _, curve_base = _train_phase(
+        loss_fn, sgd_momentum(args.lr, args.momentum), params_a, batch_b,
+        args.epochs_b, track,
+    )
+
+    # phase 2: projected SGD on task B
+    tx_proj = optax.chain(
+        project_gradients(basis, fl, use_pallas=None),
+        sgd_momentum(args.lr, args.momentum),
+    )
+    _, curve_proj = _train_phase(
+        loss_fn, tx_proj, params_a, batch_b, args.epochs_b, track
+    )
+
+    drop_base = acc_a0 - curve_base[-1]
+    drop_proj = acc_a0 - curve_proj[-1]
+    print(f"task-A acc after task B:  baseline {curve_base[-1]:.3f} "
+          f"(drop {drop_base:.3f})  projected {curve_proj[-1]:.3f} "
+          f"(drop {drop_proj:.3f})")
+
+    if args.out_curves:
+        np.savez(
+            args.out_curves,
+            baseline_drop=np.asarray(curve_base),
+            method_results=np.asarray(curve_proj),
+            acc_a0=acc_a0,
+        )
+        print(f"curves -> {args.out_curves}")
+    return curve_base, curve_proj
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,242 @@
+"""Post-hoc Hessian spectrum of a model/checkpoint.
+
+The reference's analyze entry (gpt2_savehessian.py, gpt2_savehessian_layer.py,
+gpt2_savehessian_noise.py, diego_pythia*.py, gpt2_calchessian.py, cifar SLQ)
+in one CLI: dataset-averaged (or single-batch) Hessian, seeded-probe Lanczos
+with optional Ritz basis, optional layer restriction, optional multi-probe
+SLQ averaging (the d.sh seed grid, in-process), per-iteration resumable
+T-checkpointing, spectrum artifact + optional density plot.
+
+Examples:
+  python -m hessian_llm_vision_tpu.cli.spectrum --model gpt2-tiny \
+      --lanczos_iters 20 --basis --out_spectrum /tmp/spec --cpu
+  python -m hessian_llm_vision_tpu.cli.spectrum --model gpt2 --checkpoint ck \
+      --subsample 0.0001 --lanczos_iters 35 --batch_size 16 --max_length 512
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hessian_llm_vision_tpu.cli.common import (
+    add_common_args,
+    build_workload,
+    maybe_force_cpu,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p)
+    p.add_argument("--lanczos_iters", type=int, default=35)
+    p.add_argument("--basis", action="store_true",
+                   help="store the Krylov basis / save Ritz vectors")
+    p.add_argument("--normalization", default="dataset",
+                   help="mean | sum | dataset (artifact scaling convention)")
+    p.add_argument("--vector_seed", type=int, default=997)
+    p.add_argument("--probes", type=int, default=1,
+                   help=">1: in-process multi-probe SLQ averaging (d.sh grid)")
+    p.add_argument("--layer", default=None,
+                   help="restrict to parameter subtree whose path contains this")
+    p.add_argument("--layerwise", action="store_true",
+                   help="block-diagonal spectrum: one spectrum per leaf")
+    p.add_argument("--t_checkpoint", default=None,
+                   help="save T every iteration (resumable, diego_pythia mode)")
+    p.add_argument("--no_reorth", action="store_true")
+    p.add_argument("--out_spectrum", default=None)
+    p.add_argument("--plot", default=None, help="save stem/density plot PNG")
+    return p
+
+
+def _make_operator(args, wl):
+    from hessian_llm_vision_tpu.curvature import (
+        DatasetHessianOperator,
+        HessianOperator,
+        LayerHessianOperator,
+    )
+    from hessian_llm_vision_tpu.utils import trees
+
+    batches = wl.batches
+    n_total = len(batches) * wl.batch_size
+    if args.layer:
+        mask = trees.subtree_mask(
+            wl.params, lambda name, key=args.layer: key in name
+        )
+        n_sel = sum(
+            bool(m) for m in jax.tree_util.tree_leaves(mask)
+        )
+        if n_sel == 0:
+            raise SystemExit(f"--layer {args.layer!r} matches no parameters")
+        print(f"[layer] restricting to {n_sel} parameter leaves")
+        return LayerHessianOperator(
+            wl.loss_fn,
+            wl.params,
+            batches[0],
+            mask,
+            normalization="mean" if args.normalization == "dataset" else args.normalization,
+            batch_size=wl.batch_size,
+        )
+    if len(batches) == 1:
+        return HessianOperator(
+            wl.loss_fn,
+            wl.params,
+            batches[0],
+            normalization="mean" if args.normalization == "dataset" else args.normalization,
+            batch_size=wl.batch_size,
+            dataset_size=n_total,
+        )
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *batches
+    )
+    return DatasetHessianOperator(
+        wl.loss_fn,
+        wl.params,
+        stacked,
+        normalization=args.normalization,
+        batch_size=wl.batch_size,
+        dataset_size=n_total,
+    )
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    maybe_force_cpu(args)
+
+    from hessian_llm_vision_tpu.io import save_spectrum, save_tridiag
+    from hessian_llm_vision_tpu.krylov import (
+        lanczos,
+        lanczos_checkpointed,
+        ritz_decomposition,
+        trace_estimate,
+    )
+    from hessian_llm_vision_tpu.krylov.slq import slq_multi_probe
+
+    wl = build_workload(args)
+
+    if args.layerwise:
+        return _layerwise_main(args, wl)
+
+    op = _make_operator(args, wl)
+    key = jax.random.PRNGKey(args.vector_seed)
+    t0 = time.time()
+
+    if args.probes > 1:
+        spec = slq_multi_probe(
+            op.matvec,
+            op.dim,
+            args.lanczos_iters,
+            key,
+            args.probes,
+            reorth=not args.no_reorth,
+        )
+    elif args.t_checkpoint:
+        def cb(i, alphas, betas):
+            save_tridiag(args.t_checkpoint, alphas, betas,
+                         vector_seed=args.vector_seed, iter=i)
+            print(f"step {i + 1}  T checkpointed")
+
+        res = lanczos_checkpointed(
+            op.matvec, op.dim, args.lanczos_iters, key=key, callback=cb
+        )
+        spec = ritz_decomposition(res, with_vectors=False)
+    else:
+        res = lanczos(
+            op.matvec,
+            op.dim,
+            args.lanczos_iters,
+            key=key,
+            reorth=not args.no_reorth,
+            store_basis=args.basis or not args.no_reorth,
+        )
+        spec = ritz_decomposition(res, with_vectors=args.basis)
+    wall = time.time() - t0
+
+    ev = np.sort(np.asarray(spec.eigvals))
+    print(f"P = {op.dim}")
+    print(f"lambda_max = {ev[-1]:.6f}  lambda_min = {ev[0]:.6f}")
+    print(f"top-5 Ritz: {np.round(ev[-5:], 4).tolist()}")
+    print(f"trace estimate (E[lambda]) = {float(trace_estimate(spec)):.6e}")
+    print(f"wall-clock: {wall:.2f}s "
+          f"({args.lanczos_iters * max(len(wl.batches),1) / wall:.2f} HVPs/s)")
+
+    if args.out_spectrum:
+        save_spectrum(
+            args.out_spectrum,
+            spec,
+            iters=args.lanczos_iters,
+            subsample=args.subsample,
+            vector_seed=args.vector_seed,
+        )
+        print(f"spectrum -> {args.out_spectrum}.npz"
+              if not args.out_spectrum.endswith(".npz")
+              else f"spectrum -> {args.out_spectrum}")
+    if args.plot:
+        _plot(spec, args.plot)
+    return spec
+
+
+def _layerwise_main(args, wl):
+    """Per-leaf block spectra (gpt2_savehessian_layer.py)."""
+    from hessian_llm_vision_tpu.curvature import LayerHessianOperator
+    from hessian_llm_vision_tpu.io import save_spectrum
+    from hessian_llm_vision_tpu.krylov import lanczos, ritz_decomposition
+    from hessian_llm_vision_tpu.utils import trees
+    from hessian_llm_vision_tpu.utils.flatten import tree_size
+
+    labels, spans = trees.partition_labels(wl.params)
+    key = jax.random.PRNGKey(args.vector_seed)
+    results = {}
+    for i, (label, (off, size)) in enumerate(zip(labels, spans)):
+        if size < 2:
+            continue
+        mask = trees.subtree_mask(
+            wl.params, lambda n, target=label: n == target
+        )
+        op = LayerHessianOperator(
+            wl.loss_fn, wl.params, wl.batches[0], mask,
+            normalization="mean", batch_size=wl.batch_size,
+        )
+        iters = min(args.lanczos_iters, size)
+        res = lanczos(op.matvec, op.dim, iters, key=jax.random.fold_in(key, i),
+                      reorth=True)
+        spec = ritz_decomposition(res)
+        ev = np.asarray(spec.eigvals)
+        results[label] = spec
+        print(f"{label:60s} P={size:9d} max={ev[-1]:10.4f} min={ev[0]:10.4f}")
+    if args.out_spectrum:
+        for label, spec in results.items():
+            safe = label.replace("/", ".")
+            save_spectrum(f"{args.out_spectrum}_{safe}", spec)
+        print(f"{len(results)} block spectra -> {args.out_spectrum}_*.npz")
+    return results
+
+
+def _plot(spec, path):
+    """Stem plot of (eigvals, gammas), log-y — the reference's spectral
+    density visualisation (First Principles Lanczos.ipynb cell 2)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(7, 4))
+    ev = np.asarray(spec.eigvals)
+    ga = np.maximum(np.asarray(spec.gammas), 1e-12)
+    ax.stem(ev, ga)
+    ax.set_yscale("log")
+    ax.set_xlabel("Ritz value")
+    ax.set_ylabel("SLQ weight")
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    print(f"plot -> {path}")
+
+
+if __name__ == "__main__":
+    main()

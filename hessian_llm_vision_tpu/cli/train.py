@@ -1,0 +1,161 @@
+"""Training CLI — vanilla SGD/Adam baselines and LanczosSGD.
+
+Collapses the reference's per-experiment scripts (gpt2_multigpu.py,
+gpt2_adam_raw.py, gpt2_sgdraw.py, gpt2_hessian*.py, clean_lanczostrain.py,
+train_lanczos.py, accum.py) into one config-driven entry.
+
+Examples:
+  python -m hessian_llm_vision_tpu.cli.train --model gpt2-tiny --optimiser adam \
+      --lr 1e-3 --epochs 1 --cpu
+  python -m hessian_llm_vision_tpu.cli.train --model gpt2 --optimiser lanczos \
+      --k 10 --delta 1e-4 --accumulation_steps 8 --lanczos_momentum 0.9
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+
+from hessian_llm_vision_tpu.cli.common import (
+    add_common_args,
+    build_workload,
+    maybe_force_cpu,
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p)
+    p.add_argument("--optimiser", default="sgd",
+                   help="sgd | adam | raw | lanczos | lanczos-layer")
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--wd", type=float, default=0.0)
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--delta", type=float, default=1e-4)
+    p.add_argument("--accumulation_steps", type=int, default=1)
+    p.add_argument("--lanczos_momentum", type=float, default=0.0)
+    p.add_argument("--refresh_every", type=int, default=1)
+    p.add_argument("--linear_decay_steps", type=int, default=0)
+    p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--save_checkpoint", default=None)
+    p.add_argument("--tensorboard", action="store_true")
+    return p
+
+
+def main(argv=None) -> float:
+    args = build_parser().parse_args(argv)
+    maybe_force_cpu(args)
+
+    from hessian_llm_vision_tpu.io import run_dir_name, save_checkpoint
+    from hessian_llm_vision_tpu.obs import (
+        MultiLogger,
+        PickleStatsLogger,
+        TensorBoardLogger,
+    )
+    from hessian_llm_vision_tpu.optim import (
+        LanczosSGDConfig,
+        linear_decay,
+        make_lanczos_sgd_step,
+        make_layerwise_lanczos_sgd_step,
+        manual_adam,
+        raw_sgd,
+        sgd_momentum,
+    )
+    from hessian_llm_vision_tpu.train import make_train_step, to_microbatches, train
+
+    wl = build_workload(args)
+    lr = (
+        linear_decay(args.lr, args.linear_decay_steps)
+        if args.linear_decay_steps
+        else args.lr
+    )
+
+    rundir = run_dir_name(
+        args.out,
+        args.optimiser,
+        args.subsample,
+        lr=args.lr,
+        delta=args.delta,
+        batchsize=args.batch_size,
+        k=args.k,
+        accum=args.accumulation_steps,
+        lanczosmomentum=args.lanczos_momentum,
+    )
+    os.makedirs(rundir, exist_ok=True)
+    loggers = [PickleStatsLogger(os.path.join(rundir, "training_stats.pkl"))]
+    if args.tensorboard:
+        loggers.append(TensorBoardLogger(os.path.join(rundir, "tensorboard_logs")))
+    logger = MultiLogger(loggers)
+
+    accum = args.accumulation_steps
+    if args.optimiser in ("sgd", "adam", "raw"):
+        tx = {
+            "sgd": lambda: sgd_momentum(lr, args.momentum, args.wd),
+            "adam": lambda: manual_adam(lr),
+            "raw": lambda: raw_sgd(lr),
+        }[args.optimiser]()
+        init_fn, step_fn = make_train_step(wl.loss_fn, tx, accum_steps=accum)
+    elif args.optimiser in ("lanczos", "lanczos-layer"):
+        cfg = LanczosSGDConfig(
+            k=args.k,
+            delta=args.delta,
+            lr=lr,
+            momentum=args.momentum,
+            weight_decay=args.wd,
+            refresh_every=args.refresh_every,
+            lanczos_momentum=args.lanczos_momentum,
+            accum_steps=accum if args.optimiser == "lanczos" else 1,
+            normalization="sum",
+        )
+        maker = (
+            make_lanczos_sgd_step
+            if args.optimiser == "lanczos"
+            else make_layerwise_lanczos_sgd_step
+        )
+        init_fn, step_fn = maker(
+            wl.loss_fn, wl.params, cfg, batch_size=wl.batch_size
+        )
+    else:
+        raise SystemExit(f"unknown --optimiser {args.optimiser!r}")
+
+    batches = wl.batches
+    if accum > 1:
+        batches = [to_microbatches(b, accum) for b in batches]
+
+    final = {"loss": float("nan")}
+
+    def on_log(step, metrics):
+        final.update(metrics)
+        logger.log(step, metrics)
+        print(
+            f"step {step}  loss {metrics['loss']:.4f}  "
+            f"ema {metrics['ema_loss']:.4f}  {metrics['step_time']:.3f}s"
+        )
+
+    state = train(
+        step_fn,
+        init_fn(wl.params),
+        batches,
+        num_epochs=args.epochs,
+        log_every=args.log_every,
+        on_log=on_log,
+    )
+    logger.close()
+
+    if args.save_checkpoint:
+        save_checkpoint(args.save_checkpoint, state.params)
+        print(f"checkpoint -> {args.save_checkpoint}")
+
+    # last stdout line is the final loss — the contract the reference's
+    # Optuna harness relies on (optun.py:33-45)
+    print(final["loss"])
+    return final["loss"]
+
+
+if __name__ == "__main__":
+    main()

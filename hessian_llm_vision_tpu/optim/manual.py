@@ -75,8 +75,13 @@ def manual_adam(
     (gpt2_adam_raw.py:113-137)."""
 
     def init(params):
-        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
-        return AdamState(step=jnp.zeros((), jnp.int32), m=zeros, v=zeros)
+        # m and v must be DISTINCT buffers — sharing one zeros tree makes
+        # donated-state jit fail with "donate the same buffer twice"
+        return AdamState(
+            step=jnp.zeros((), jnp.int32),
+            m=jax.tree_util.tree_map(jnp.zeros_like, params),
+            v=jax.tree_util.tree_map(jnp.zeros_like, params),
+        )
 
     def update(grads, state, params=None):
         t = state.step + 1

@@ -101,6 +101,16 @@ def train(
     jit_step = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
     ema_loss = None
     global_step = 0
+    last_logged = -1
+    last = None
+
+    def emit(step, metrics, dt):
+        host = {k: float(np.asarray(v).reshape(-1)[0]) if np.asarray(v).size else 0.0
+                for k, v in metrics.items()}
+        host["ema_loss"] = ema_loss
+        host["step_time"] = dt
+        on_log(step, host)
+
     for epoch in range(num_epochs):
         for batch in batches:
             t0 = time.perf_counter()
@@ -110,13 +120,14 @@ def train(
             ema_loss = loss if ema_loss is None else (
                 ema_decay * ema_loss + (1 - ema_decay) * loss
             )
+            last = (global_step, metrics, dt)
             if on_log is not None and global_step % log_every == 0:
-                host = {k: float(np.asarray(v).reshape(-1)[0]) if np.asarray(v).size else 0.0
-                        for k, v in metrics.items()}
-                host["ema_loss"] = ema_loss
-                host["step_time"] = dt
-                on_log(global_step, host)
+                emit(global_step, metrics, dt)
+                last_logged = global_step
             global_step += 1
         if on_epoch_end is not None:
             on_epoch_end(epoch, state)
+    # the final step always reaches the log (sweeps/HPO read the last loss)
+    if on_log is not None and last is not None and last[0] != last_logged:
+        emit(*last)
     return state
