@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="block-diagonal spectrum: one spectrum per leaf")
     p.add_argument("--t_checkpoint", default=None,
                    help="save T every iteration (resumable, diego_pythia mode)")
+    p.add_argument("--host_basis", action="store_true",
+                   help="keep the Krylov basis in host RAM (basis > HBM; "
+                   "the reference's CPU-offload mode)")
     p.add_argument("--no_reorth", action="store_true")
     p.add_argument("--out_spectrum", default=None)
     p.add_argument("--plot", default=None, help="save stem/density plot PNG")
@@ -136,6 +139,19 @@ def main(argv=None):
             args.probes,
             reorth=not args.no_reorth,
         )
+    elif args.host_basis:
+        from hessian_llm_vision_tpu.krylov import lanczos_host_basis
+
+        def cb(i, alphas, betas):
+            if args.t_checkpoint:
+                save_tridiag(args.t_checkpoint, alphas, betas,
+                             vector_seed=args.vector_seed, iter=i)
+
+        res = lanczos_host_basis(
+            op.matvec, op.dim, args.lanczos_iters, key=key,
+            reorth=not args.no_reorth, callback=cb,
+        )
+        spec = ritz_decomposition(res, with_vectors=args.basis)
     elif args.t_checkpoint:
         def cb(i, alphas, betas):
             save_tridiag(args.t_checkpoint, alphas, betas,

@@ -3,6 +3,7 @@ from hessian_llm_vision_tpu.krylov.lanczos import (
     LanczosResult,
     lanczos_checkpointed,
 )
+from hessian_llm_vision_tpu.krylov.host_lanczos import lanczos_host_basis
 from hessian_llm_vision_tpu.krylov.slq import (
     ritz_decomposition,
     ritz_vectors,
@@ -18,6 +19,7 @@ __all__ = [
     "lanczos",
     "LanczosResult",
     "lanczos_checkpointed",
+    "lanczos_host_basis",
     "ritz_decomposition",
     "ritz_vectors",
     "trace_estimate",

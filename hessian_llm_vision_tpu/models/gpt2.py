@@ -101,10 +101,10 @@ class Block(nn.Module):
     def __call__(self, x, deterministic=True):
         cfg = self.config
         x = x + CausalSelfAttention(cfg, name="attn")(
-            nn.LayerNorm(dtype=cfg.dtype, name="ln_1")(x), deterministic
+            nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln_1")(x), deterministic
         )
         x = x + MLPBlock(cfg, name="mlp")(
-            nn.LayerNorm(dtype=cfg.dtype, name="ln_2")(x), deterministic
+            nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln_2")(x), deterministic
         )
         return x
 
@@ -133,7 +133,7 @@ class GPT2LMHead(nn.Module):
         x = wte[input_ids].astype(cfg.dtype) + wpe[:T][None].astype(cfg.dtype)
         for i in range(cfg.n_layer):
             x = Block(cfg, name=f"h_{i}")(x, deterministic)
-        x = nn.LayerNorm(dtype=cfg.dtype, name="ln_f")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln_f")(x)
         if cfg.tie_word_embeddings:
             logits = jnp.einsum("btc,vc->btv", x, wte.astype(cfg.dtype))
         else:

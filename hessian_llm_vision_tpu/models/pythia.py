@@ -125,10 +125,10 @@ class NeoXBlock(nn.Module):
     def __call__(self, x):
         cfg = self.config
         attn_out = NeoXAttention(cfg, name="attention")(
-            nn.LayerNorm(dtype=cfg.dtype, name="input_layernorm")(x)
+            nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="input_layernorm")(x)
         )
         mlp_out = NeoXMLP(cfg, name="mlp")(
-            nn.LayerNorm(dtype=cfg.dtype, name="post_attention_layernorm")(x)
+            nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="post_attention_layernorm")(x)
         )
         return x + attn_out + mlp_out
 
@@ -148,7 +148,7 @@ class NeoXLMHead(nn.Module):
         x = emb[input_ids].astype(cfg.dtype)
         for i in range(cfg.num_layers):
             x = NeoXBlock(cfg, name=f"layer_{i}")(x)
-        x = nn.LayerNorm(dtype=cfg.dtype, name="final_layer_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="final_layer_norm")(x)
         logits = nn.Dense(
             cfg.vocab_size, use_bias=False, dtype=cfg.dtype, name="embed_out"
         )(x)
