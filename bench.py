@@ -25,7 +25,20 @@ import jax
 import jax.numpy as jnp
 
 
+def _enable_compile_cache() -> None:
+    # the axon TPU backend compiles remotely and a cold GPT-2-124M HVP
+    # compile is minutes; the persistent cache makes round-over-round
+    # driver runs fast
+    import os
+
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main() -> None:
+    _enable_compile_cache()
     from hessian_llm_vision_tpu.curvature import DatasetHessianOperator
     from hessian_llm_vision_tpu.krylov import lanczos, ritz_decomposition
     from hessian_llm_vision_tpu.models import GPT2Config, GPT2LMHead, losses

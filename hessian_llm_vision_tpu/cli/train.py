@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--linear_decay_steps", type=int, default=0)
     p.add_argument("--log_every", type=int, default=10)
     p.add_argument("--save_checkpoint", default=None)
+    p.add_argument("--save_state", default=None,
+                   help="save the FULL train state (params+optimizer+step) "
+                   "for mid-training resume")
+    p.add_argument("--resume_state", default=None,
+                   help="resume from a --save_state checkpoint")
     p.add_argument("--tensorboard", action="store_true")
     return p
 
@@ -137,9 +142,16 @@ def main(argv=None) -> float:
             f"ema {metrics['ema_loss']:.4f}  {metrics['step_time']:.3f}s"
         )
 
+    state0 = init_fn(wl.params)
+    if args.resume_state:
+        from hessian_llm_vision_tpu.io import load_checkpoint
+
+        state0 = load_checkpoint(args.resume_state, template=state0)
+        print(f"resumed train state <- {args.resume_state}")
+
     state = train(
         step_fn,
-        init_fn(wl.params),
+        state0,
         batches,
         num_epochs=args.epochs,
         log_every=args.log_every,
@@ -150,6 +162,9 @@ def main(argv=None) -> float:
     if args.save_checkpoint:
         save_checkpoint(args.save_checkpoint, state.params)
         print(f"checkpoint -> {args.save_checkpoint}")
+    if args.save_state:
+        save_checkpoint(args.save_state, state)
+        print(f"train state -> {args.save_state}")
 
     # last stdout line is the final loss — the contract the reference's
     # Optuna harness relies on (optun.py:33-45)

@@ -10,6 +10,11 @@ from hessian_llm_vision_tpu.parallel.hvp_sharded import (
     sharded_grad_fn,
 )
 from hessian_llm_vision_tpu.parallel.offload import to_host, to_device
+from hessian_llm_vision_tpu.parallel.param_sharding import (
+    shard_params_for_tp,
+    tp_spec_tree,
+    DEFAULT_TP_RULES,
+)
 
 __all__ = [
     "make_mesh",
@@ -21,4 +26,7 @@ __all__ = [
     "sharded_grad_fn",
     "to_host",
     "to_device",
+    "shard_params_for_tp",
+    "tp_spec_tree",
+    "DEFAULT_TP_RULES",
 ]
