@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_reorth", action="store_true")
     p.add_argument("--out_spectrum", default=None)
     p.add_argument("--plot", default=None, help="save stem/density plot PNG")
+    p.add_argument("--compare_to", default=None,
+                   help="npz or reference torch .ckpt spectrum to compare "
+                   "against (prints max relative Ritz error)")
     return p
 
 
@@ -195,6 +198,18 @@ def main(argv=None):
               else f"spectrum -> {args.out_spectrum}")
     if args.plot:
         _plot(spec, args.plot)
+    if args.compare_to:
+        from hessian_llm_vision_tpu.io import load_spectrum, load_reference_spectrum
+        from hessian_llm_vision_tpu.krylov import density_overlap, ritz_relative_error
+
+        other = (
+            load_reference_spectrum(args.compare_to)
+            if args.compare_to.endswith((".ckpt", ".pt"))
+            else load_spectrum(args.compare_to)
+        )
+        err = ritz_relative_error(spec, other, top_k=5)
+        print(f"top-5 Ritz max relative error vs {args.compare_to}: {err:.2e}")
+        print(f"density overlap: {density_overlap(spec, other):.4f}")
     return spec
 
 

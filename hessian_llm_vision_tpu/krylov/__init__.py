@@ -4,6 +4,11 @@ from hessian_llm_vision_tpu.krylov.lanczos import (
     lanczos_checkpointed,
 )
 from hessian_llm_vision_tpu.krylov.host_lanczos import lanczos_host_basis
+from hessian_llm_vision_tpu.krylov.compare import (
+    ritz_relative_error,
+    density_overlap,
+    summarize,
+)
 from hessian_llm_vision_tpu.krylov.slq import (
     ritz_decomposition,
     ritz_vectors,
@@ -28,4 +33,7 @@ __all__ = [
     "Spectrum",
     "power_iteration",
     "cg_solve",
+    "ritz_relative_error",
+    "density_overlap",
+    "summarize",
 ]

@@ -1,0 +1,64 @@
+"""Spectrum comparison utilities.
+
+The judge metric for this rebuild is "Ritz values within 1e-3 relative
+error of the reference" (BASELINE.json); the reference compares spectra by
+eye in notebooks (eigeninfo/GPT2 spectrum.ipynb).  These helpers make the
+comparison a number.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from hessian_llm_vision_tpu.krylov.slq import Spectrum
+
+
+def ritz_relative_error(
+    a: Spectrum, b: Spectrum, top_k: Optional[int] = None
+) -> float:
+    """Max relative error between sorted Ritz values (optionally only the
+    top_k by magnitude — the well-converged extremal ones)."""
+    ea = np.sort(np.asarray(a.eigvals))
+    eb = np.sort(np.asarray(b.eigvals))
+    n = min(len(ea), len(eb))
+    ea, eb = ea[-n:], eb[-n:]
+    if top_k is not None:
+        order = np.argsort(np.abs(eb))[-top_k:]
+        ea, eb = ea[order], eb[order]
+    denom = np.maximum(np.abs(eb), 1e-12)
+    return float(np.max(np.abs(ea - eb) / denom))
+
+
+def density_overlap(
+    a: Spectrum, b: Spectrum, num_points: int = 512, sigma: Optional[float] = None
+) -> float:
+    """Bhattacharyya-style overlap of the two broadened densities in [0, 1]."""
+    from hessian_llm_vision_tpu.krylov.slq import spectral_density
+    import jax.numpy as jnp
+
+    lo = min(float(np.min(a.eigvals)), float(np.min(b.eigvals)))
+    hi = max(float(np.max(a.eigvals)), float(np.max(b.eigvals)))
+    pad = 0.05 * (hi - lo + 1e-9)
+    grid = jnp.linspace(lo - pad, hi + pad, num_points)
+    if sigma is None:
+        sigma = (hi - lo + 1e-9) / 100
+    da = np.array(spectral_density(a, grid, sigma))
+    db = np.array(spectral_density(b, grid, sigma))
+    da = da / np.trapezoid(da, grid)
+    db = db / np.trapezoid(db, grid)
+    return float(np.trapezoid(np.sqrt(da * db), grid))
+
+
+def summarize(spec: Spectrum) -> dict:
+    ev = np.sort(np.asarray(spec.eigvals))
+    ga = np.asarray(spec.gammas)
+    return {
+        "num_ritz": len(ev),
+        "lambda_max": float(ev[-1]),
+        "lambda_min": float(ev[0]),
+        "top5": ev[-5:].tolist(),
+        "trace_estimate": float(np.dot(np.asarray(spec.eigvals), ga)),
+        "weight_sum": float(ga.sum()),
+    }

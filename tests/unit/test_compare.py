@@ -1,0 +1,41 @@
+"""Spectrum comparison utilities + end-to-end self-consistency check:
+two independent Lanczos runs on the same operator agree to 1e-3 on the
+extremal Ritz values (the BASELINE parity metric, applied to ourselves)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hessian_llm_vision_tpu.curvature.operators import MatrixOperator
+from hessian_llm_vision_tpu.krylov import lanczos, ritz_decomposition
+from hessian_llm_vision_tpu.krylov.compare import (
+    density_overlap,
+    ritz_relative_error,
+    summarize,
+)
+
+
+def test_self_consistency_extremal_ritz(rng):
+    d = 400
+    A = rng.randn(d, d).astype(np.float32) / np.sqrt(d)
+    M = (A + A.T) / 2
+    ones = np.ones((d, 1), dtype=np.float32)
+    M = M + (ones @ ones.T) / (np.sqrt(d) / 3)  # spiked: converged outlier
+    op = MatrixOperator(jnp.asarray(M))
+    specs = []
+    for seed in (1, 2):
+        res = lanczos(op.matvec, d, 30, key=jax.random.PRNGKey(seed), reorth=True)
+        specs.append(ritz_decomposition(res))
+    err = ritz_relative_error(specs[0], specs[1], top_k=1)
+    assert err < 1e-3  # the BASELINE.json parity bar
+    assert density_overlap(specs[0], specs[1]) > 0.8
+
+
+def test_summarize(rng):
+    from hessian_llm_vision_tpu.krylov.slq import Spectrum
+
+    s = Spectrum(eigvals=jnp.asarray([1.0, 2.0, 5.0]), gammas=jnp.asarray([0.2, 0.3, 0.5]))
+    info = summarize(s)
+    assert info["lambda_max"] == 5.0
+    np.testing.assert_allclose(info["trace_estimate"], 0.2 + 0.6 + 2.5)
+    np.testing.assert_allclose(info["weight_sum"], 1.0)
