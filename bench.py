@@ -46,7 +46,11 @@ def main() -> None:
 
     num_batches, batch_size, seq_len, iters = 2, 16, 512, 35
 
-    cfg = GPT2Config.gpt2_124m(n_positions=seq_len, dtype=jnp.bfloat16)
+    # f32 compute: bf16-dtype jvp-of-grad programs take ~10x longer to
+    # compile on the axon backend (measured: 331 s vs 31 s on a 16M model)
+    # for only ~1.4x faster steps, and the Lanczos recurrence wants f32
+    # HVPs anyway.
+    cfg = GPT2Config.gpt2_124m(n_positions=seq_len, dtype=jnp.float32)
     model = GPT2LMHead(cfg)
     params = model.init_params(jax.random.PRNGKey(0), seq_len=seq_len)
     loss_fn = losses.lm_loss_fn(model)
