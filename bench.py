@@ -31,7 +31,7 @@ def _enable_compile_cache() -> None:
     # driver runs fast
     import os
 
-    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -44,7 +44,10 @@ def main() -> None:
     from hessian_llm_vision_tpu.models import GPT2Config, GPT2LMHead, losses
     from hessian_llm_vision_tpu.data import random_token_batches
 
-    num_batches, batch_size, seq_len, iters = 2, 16, 512, 35
+    # 32 sequences total (= wikipedia-simple subsample~1e-4) as 4 micro-batches
+    # of 8: the bs16 HVP + accumulation buffers exceed one chip's 16 GB HBM
+    # in f32 (logits alone are 1.6 GB per buffer at bs16/seq512/50k vocab)
+    num_batches, batch_size, seq_len, iters = 4, 8, 512, 35
 
     # f32 compute: bf16-dtype jvp-of-grad programs take ~10x longer to
     # compile on the axon backend (measured: 331 s vs 31 s on a 16M model)
@@ -60,28 +63,73 @@ def main() -> None:
     )
     batches = {"input_ids": jnp.asarray(data["input_ids"])}
 
-    op = DatasetHessianOperator(
-        loss_fn,
-        params,
-        batches,
-        normalization="dataset",
-        batch_size=batch_size,
-        dataset_size=num_batches * batch_size,
-        remat=True,
-    )
-
     # Single chip: T-only memory-light mode (the reference's own approach at
     # scale, diego_pythia.py:157-192) — the 35 x 124M f32 basis is 17.4 GB,
     # which only fits when SHARDED over a v5e-8 (2.2 GB/chip; that path is
     # exercised by dryrun_multichip and tests/distributed).  HVP throughput,
     # the cost driver, is identical in both modes.
+    #
+    # Host-driven iteration with ONE jitted Lanczos step whose params/batches
+    # are EXPLICIT jit arguments: the fully-fused 35-iteration program made
+    # this backend's remote compiler fall over (HTTP 500), and closed-over
+    # arrays lower as inline HLO constants.  Per-iteration host dispatch
+    # costs ~nothing next to a 124M HVP.
+    # Backend program-size ceiling: the remote compile helper crashes
+    # (HTTP 500) on any program much larger than ONE un-remat'd 124M HVP —
+    # a scan or even an unrolled pair of HVPs fails, as does jax.checkpoint.
+    # So the dataset average runs as a HOST loop over a single cached
+    # per-batch HVP program; the accumulate/recurrence helpers are separate
+    # tiny programs.  All params/batches are explicit jit args (closed-over
+    # arrays lower as inline HLO constants and bloat the remote compile).
+    from hessian_llm_vision_tpu.curvature import HessianOperator
+    from hessian_llm_vision_tpu.utils.flatten import Flattener
+
+    fl = Flattener(params)
+
     @jax.jit
-    def spectrum(key):
-        res = lanczos(
-            op.matvec, op.dim, iters, key=key, reorth=False, store_basis=False
+    def batch_hvp(v, params, ids):
+        op = HessianOperator(
+            loss_fn, params, {"input_ids": ids}, flattener=fl, remat=False
         )
-        spec = ritz_decomposition(res)
-        return spec.eigvals, spec.gammas
+        return op.matvec(v)
+
+    @jax.jit
+    def recurrence(w, q_cur, q_prev, beta_prev):
+        alpha = jnp.vdot(q_cur, w)
+        w = w - alpha * q_cur - beta_prev * q_prev
+        beta = jnp.linalg.norm(w)
+        return alpha, beta, w / jnp.maximum(beta, 1e-30)
+
+    dim = fl.size
+    batch_list = [batches["input_ids"][i] for i in range(num_batches)]
+
+    def dataset_hvp(v):
+        # dataset-mean = mean of equal-size per-batch mean-HVPs
+        # (gpt2_savehessian.py:154 `loss *= batch/N` semantics)
+        w = batch_hvp(v, params, batch_list[0])
+        for ids in batch_list[1:]:
+            w = w + batch_hvp(v, params, ids)
+        return w / num_batches
+
+    def spectrum(key):
+        import numpy as np
+
+        q_cur = jax.random.normal(key, (dim,), jnp.float32)
+        q_cur = q_cur / jnp.linalg.norm(q_cur)
+        q_prev = jnp.zeros_like(q_cur)
+        beta_prev = jnp.float32(0.0)
+        alphas, betas = [], []
+        for _ in range(iters):
+            w = dataset_hvp(q_cur)
+            alpha, beta, q_next = recurrence(w, q_cur, q_prev, beta_prev)
+            q_prev, q_cur, beta_prev = q_cur, q_next, beta
+            alphas.append(alpha)
+            betas.append(beta)
+        a = np.asarray(jnp.stack(alphas))
+        b = np.asarray(jnp.stack(betas))[:-1]
+        T = np.diag(a) + np.diag(b, 1) + np.diag(b, -1)
+        ev, evec = np.linalg.eigh(T)
+        return jnp.asarray(ev), jnp.asarray(evec[0, :] ** 2)
 
     # compile (excluded — the reference timers also exclude torch warmup)
     import sys

@@ -61,6 +61,7 @@ def _lm_batches(args, vocab_size) -> list:
             args.max_length,
             vocab_size,
             seed=args.data_seed,
+            random_mask=getattr(args, "random_mask", False),
         )
     n = stacked["input_ids"].shape[0]
     return [
@@ -247,6 +248,9 @@ def add_common_args(parser) -> None:
     parser.add_argument("--max_length", type=int, default=64)
     parser.add_argument("--num_batches", type=int, default=4,
                         help="batches for synthetic fallbacks")
+    parser.add_argument("--random_mask", action="store_true",
+                        help="random attention masks on synthetic tokens "
+                        "(the Hessian-of-noise probe, gpt2_savehessian_noise.py)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--data_seed", type=int, default=42)
     parser.add_argument("--checkpoint", default=None)

@@ -170,7 +170,7 @@ def lanczos(
 
 
 def lanczos_checkpointed(
-    matvec: Callable[[jax.Array], jax.Array],
+    matvec: Callable[..., jax.Array],
     dim: int,
     num_iters: int,
     *,
@@ -178,6 +178,7 @@ def lanczos_checkpointed(
     key: Optional[jax.Array] = None,
     callback: Optional[Callable[[int, jnp.ndarray, jnp.ndarray], None]] = None,
     resume_state: Optional[dict] = None,
+    matvec_args: tuple = (),
 ) -> LanczosResult:
     """Host-driven T-only Lanczos with a per-iteration callback.
 
@@ -186,6 +187,12 @@ def lanczos_checkpointed(
     iteration is one jitted device step; ``callback(i, alphas, betas)``
     receives host copies for checkpointing.  ``resume_state`` (as produced by
     ``io.spectra.save_lanczos_state``) continues an interrupted run.
+
+    ``matvec_args``: extra EXPLICIT jit arguments forwarded as
+    ``matvec(v, *matvec_args)``.  Pass params/batches here instead of
+    closing over them — closed-over arrays lower as inline HLO constants,
+    which bloats (and on remote-compile backends can outright break)
+    compilation at LLM scale.
     """
     if resume_state is None:
         if (v0 is None) == (key is None):
@@ -206,8 +213,8 @@ def lanczos_checkpointed(
         start = len(alphas)
 
     @jax.jit
-    def one_step(q_prev, q_cur, beta_prev):
-        w = matvec(q_cur).astype(jnp.float32)
+    def one_step(q_prev, q_cur, beta_prev, *mv_args):
+        w = matvec(q_cur, *mv_args).astype(jnp.float32)
         alpha = jnp.vdot(q_cur, w)
         w = w - alpha * q_cur - beta_prev * q_prev
         beta = jnp.linalg.norm(w)
@@ -215,7 +222,9 @@ def lanczos_checkpointed(
         return alpha, beta, q_cur, q_next
 
     for i in range(start, num_iters):
-        alpha, beta, q_prev, q_cur = one_step(q_prev, q_cur, beta_prev)
+        alpha, beta, q_prev, q_cur = one_step(
+            q_prev, q_cur, beta_prev, *matvec_args
+        )
         beta_prev = beta
         alphas.append(alpha)
         betas.append(beta)
