@@ -30,6 +30,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
 _TILE = 8 * 1024  # P-axis tile per grid step (f32: 32 KB of g, k*32KB of V)
+# Auto-dispatch ceiling: this machine's remote TPU compiler crashes on the
+# Pallas kernel above ~32M-element vectors (works at 15.5M, fails at 124M);
+# the XLA-fused jnp path is bandwidth-bound and robust at any size, so
+# Pallas is used in the window where it is proven.
+_PALLAS_MAX_P = 32 * 1024 * 1024
 
 
 def _pad_to(x: jax.Array, n: int, axis: int = -1) -> jax.Array:
@@ -164,7 +169,8 @@ def rank_k_apply(
     """
     if use_pallas is None:
         use_pallas = (
-            jax.default_backend() not in ("cpu",) and basis.shape[1] >= _TILE
+            jax.default_backend() not in ("cpu",)
+            and _TILE <= basis.shape[1] <= _PALLAS_MAX_P
         )
     if use_pallas:
         return _rank_k_apply_pallas(g, basis, coeffs, interpret=interpret)
