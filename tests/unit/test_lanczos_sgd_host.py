@@ -1,0 +1,69 @@
+"""Host-orchestrated LanczosSGD == fused jitted LanczosSGD (same math)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hessian_llm_vision_tpu.models import SpiralMLP, losses
+from hessian_llm_vision_tpu.data import make_spirals
+from hessian_llm_vision_tpu.optim import LanczosSGDConfig, make_lanczos_sgd_step
+from hessian_llm_vision_tpu.optim.lanczos_sgd_host import HostLanczosSGDTrainer
+
+
+def test_host_trainer_matches_fused_step(key):
+    x, y = make_spirals(120, seed=9)
+    model = SpiralMLP(width=12, depth=2)
+    params = model.init(key, x[:4])["params"]
+
+    def loss_fn(p, b):
+        return losses.softmax_cross_entropy(model.apply({"params": p}, b[0]), b[1])
+
+    cfg = LanczosSGDConfig(
+        k=6, delta=1e-3, lr=0.05, momentum=0.9, weight_decay=1e-4,
+        normalization="sum",
+    )
+    batch = (jnp.asarray(x), jnp.asarray(y))
+
+    init_f, step_f = make_lanczos_sgd_step(loss_fn, params, cfg, batch_size=120)
+    fused = init_f(params)
+    trainer = HostLanczosSGDTrainer(loss_fn, params, cfg, batch_size=120)
+    host = trainer.init(params)
+
+    for i in range(3):
+        fused, mf = jax.jit(step_f)(fused, batch)
+        host, mh = trainer.step(host, batch)
+        np.testing.assert_allclose(float(mf["loss"]), float(mh["loss"]), rtol=1e-5)
+        np.testing.assert_allclose(
+            float(mf["eig_max"]), float(mh["eig_max"]), rtol=1e-3
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(fused.params),
+            jax.tree_util.tree_leaves(host.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-5
+            )
+
+
+def test_host_trainer_refresh_interval(key):
+    x, y = make_spirals(90, seed=10)
+    model = SpiralMLP(width=8, depth=1)
+    params = model.init(key, x[:4])["params"]
+
+    def loss_fn(p, b):
+        return losses.softmax_cross_entropy(model.apply({"params": p}, b[0]), b[1])
+
+    cfg = LanczosSGDConfig(
+        k=4, delta=1e-3, lr=0.02, momentum=0.9, refresh_every=3,
+        lanczos_momentum=0.5, normalization="sum",
+    )
+    trainer = HostLanczosSGDTrainer(loss_fn, params, cfg, batch_size=90)
+    state = trainer.init(params)
+    batch = (jnp.asarray(x), jnp.asarray(y))
+    evs = []
+    for i in range(4):
+        state, m = trainer.step(state, batch)
+        evs.append(np.asarray(state.eigvals))
+    np.testing.assert_array_equal(evs[0], evs[1])
+    np.testing.assert_array_equal(evs[1], evs[2])
+    assert not np.array_equal(evs[2], evs[3])
