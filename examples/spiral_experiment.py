@@ -37,7 +37,6 @@ def main():
     from hessian_llm_vision_tpu.data import make_spirals
     from hessian_llm_vision_tpu.io import save_spectrum
     from hessian_llm_vision_tpu.krylov import (
-        cg_solve,
         lanczos,
         ritz_decomposition,
         spectral_density,

@@ -17,8 +17,6 @@ Examples:
 from __future__ import annotations
 
 import argparse
-import json
-import os
 import time
 
 import jax

@@ -14,10 +14,7 @@ Examples:
 from __future__ import annotations
 
 import argparse
-import json
 import os
-
-import jax
 
 from hessian_llm_vision_tpu.cli.common import (
     add_common_args,

@@ -28,7 +28,6 @@ import enum
 from typing import Any, Callable
 
 import jax
-import jax.numpy as jnp
 
 
 class Normalization(str, enum.Enum):

@@ -64,6 +64,7 @@ def HessianOperator(
     batch_size: int | None = None,
     dataset_size: int | None = None,
     remat: bool = False,
+    precision: str | None = "highest",
     flattener: Flattener | None = None,
 ) -> LinearOperator:
     """Single-batch Hessian of ``loss_fn`` at ``params``.
@@ -78,6 +79,7 @@ def HessianOperator(
         batch_size=batch_size,
         dataset_size=dataset_size,
         remat=remat,
+        precision=precision,
     )
 
     def matvec(v: jax.Array) -> jax.Array:
@@ -95,6 +97,7 @@ def DatasetHessianOperator(
     batch_size: int | None = None,
     dataset_size: int | None = None,
     remat: bool = True,
+    precision: str | None = "highest",
     flattener: Flattener | None = None,
 ) -> LinearOperator:
     """Hessian averaged over a whole dataset of stacked batches.
@@ -117,6 +120,7 @@ def DatasetHessianOperator(
         batch_size=batch_size,
         dataset_size=dataset_size,
         remat=remat,
+        precision=precision,
     )
 
     def matvec(v: jax.Array) -> jax.Array:

@@ -17,8 +17,7 @@ to ``data.synthetic.random_token_batches``.
 
 from __future__ import annotations
 
-import os
-from typing import Any, Dict, Iterable, Optional
+from typing import Dict, Iterable, Optional
 
 import numpy as np
 

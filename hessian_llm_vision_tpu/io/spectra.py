@@ -13,8 +13,6 @@ loads the reference's torch artifacts for golden tests / migration.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 
 from hessian_llm_vision_tpu.krylov.slq import Spectrum

@@ -27,7 +27,6 @@ via the ``init_vec`` hack in ``CurvVecProduct.__call__``
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple, Optional
 
 import jax

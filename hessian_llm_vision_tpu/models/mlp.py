@@ -8,8 +8,6 @@ the 784-100-10 ``SimpleNet`` MNIST net of the layer-Hessian concept test
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax.numpy as jnp
 

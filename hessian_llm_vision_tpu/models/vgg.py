@@ -7,8 +7,6 @@ Classic VGG (no batch norm), NHWC layout (TPU-native conv layout).
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 
 class TensorBoardLogger:

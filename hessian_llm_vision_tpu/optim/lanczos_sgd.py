@@ -40,7 +40,7 @@ import jax.numpy as jnp
 
 from hessian_llm_vision_tpu.curvature.hvp import hvp_fn
 from hessian_llm_vision_tpu.krylov.lanczos import lanczos
-from hessian_llm_vision_tpu.ops.spectral import rank_k_apply, spectral_adjust
+from hessian_llm_vision_tpu.ops.spectral import spectral_adjust
 from hessian_llm_vision_tpu.optim.manual import ScheduleOrFloat, _lr_at
 from hessian_llm_vision_tpu.utils.flatten import Flattener
 

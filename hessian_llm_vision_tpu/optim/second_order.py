@@ -9,7 +9,6 @@ from __future__ import annotations
 from typing import Any, Callable
 
 import jax
-import jax.numpy as jnp
 
 from hessian_llm_vision_tpu.curvature.ggn import FisherOperator, GGNOperator
 from hessian_llm_vision_tpu.krylov.cg import cg_solve

@@ -9,7 +9,6 @@ collectives, DCN cross-slice — all invisible above the Mesh layer.
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 import jax

@@ -25,7 +25,6 @@ from functools import partial
 from typing import Any, Callable, Optional
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from hessian_llm_vision_tpu.curvature.operators import (

@@ -14,7 +14,7 @@ parallel for fan-out kernels (qkv, mlp up), row-parallel for fan-in kernels
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -8,7 +8,7 @@ task-B training (load_model.py:285-301) used by the forgetting experiment.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Iterable
+from typing import Iterable
 
 import jax
 import jax.numpy as jnp

@@ -71,11 +71,6 @@ class Flattener:
         return f"Flattener(P={self.size}, leaves={len(self._sizes)})"
 
 
-@functools.lru_cache(maxsize=None)
-def _noop():  # pragma: no cover
-    return None
-
-
 def make_flat_fn(
     fn: Callable[[Any], Any], template: Any, flat_dtype=jnp.float32
 ) -> Callable[[jax.Array], jax.Array]:

@@ -1,0 +1,86 @@
+"""Pythia-1.4B distributed compile-check (BASELINE.json config 5).
+
+The 1.4B model (5.6 GB f32) cannot be materialized in this test
+environment, but AOT lowering with abstract sharded inputs proves the
+whole distributed program — TP-sharded parameters over the 'model' axis,
+batch over 'data', the grad-and-loss and the grad-seeded HVP — partitions
+and compiles end-to-end on an 8-device mesh, including the XLA-inserted
+collectives.  This is the same mechanism the driver's dryrun uses, at the
+real model scale.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from hessian_llm_vision_tpu.models import PYTHIA_CONFIGS, NeoXLMHead, losses
+from hessian_llm_vision_tpu.parallel import make_mesh
+from hessian_llm_vision_tpu.parallel.param_sharding import tp_spec_tree
+
+
+def _abstract_params(model, cfg, mesh):
+    """ShapeDtypeStructs with TP shardings — no memory allocated."""
+    shapes = jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros((1, 8), jnp.int32))["params"],
+        jax.random.PRNGKey(0),
+    )
+    specs = tp_spec_tree(shapes)
+
+    def to_abstract(s, spec):
+        # drop axes that don't divide (none should, at 1.4B dims)
+        for i, ax in enumerate(spec):
+            if ax is None:
+                continue
+            axes = ax if isinstance(ax, tuple) else (ax,)
+            size = int(np.prod([mesh.shape[a] for a in axes]))
+            if s.shape[i] % size:
+                spec = P()
+                break
+        return jax.ShapeDtypeStruct(
+            s.shape, s.dtype, sharding=NamedSharding(mesh, spec)
+        )
+
+    return jax.tree_util.tree_map(to_abstract, shapes, specs)
+
+
+@pytest.mark.parametrize("name", ["pythia-1.4b"])
+def test_tp_grad_and_hvp_compile_at_scale(name):
+    cfg = PYTHIA_CONFIGS[name]
+    model = NeoXLMHead(cfg)
+    mesh = make_mesh(num_data=2, num_model=4)
+    loss_fn = losses.lm_loss_fn(model)
+
+    abstract_params = _abstract_params(model, cfg, mesh)
+    batch_abs = {
+        "input_ids": jax.ShapeDtypeStruct(
+            (8, 128), jnp.int32, sharding=NamedSharding(mesh, P("data", None))
+        )
+    }
+
+    # sharded leaves really are sharded at 1.4B scale
+    qkv = abstract_params["layer_0"]["attention"]["query_key_value"]["kernel"]
+    assert qkv.sharding.spec == P(None, "model")
+
+    def value_and_grad(params, batch):
+        return jax.value_and_grad(loss_fn)(params, batch)
+
+    lowered = jax.jit(value_and_grad).lower(abstract_params, batch_abs)
+    compiled = lowered.compile()
+    # per-device memory must reflect the sharding: < full 5.6 GB of params
+    mem = compiled.memory_analysis()
+    if mem is not None and hasattr(mem, "argument_size_in_bytes"):
+        per_dev_args = mem.argument_size_in_bytes
+        assert per_dev_args < 4e9, f"args not sharded: {per_dev_args/1e9:.1f} GB"
+
+    def hvp_step(params, batch, v):
+        from hessian_llm_vision_tpu.curvature.hvp import hvp_fn
+
+        return hvp_fn(loss_fn)(params, batch, v)
+
+    lowered_hvp = jax.jit(hvp_step).lower(
+        abstract_params, batch_abs, abstract_params
+    )
+    compiled_hvp = lowered_hvp.compile()
+    assert compiled_hvp is not None
