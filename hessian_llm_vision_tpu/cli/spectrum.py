@@ -106,6 +106,7 @@ def _make_operator(args, wl):
         normalization=args.normalization,
         batch_size=wl.batch_size,
         dataset_size=n_total,
+        remat=False,  # remat trades compute for memory; CLI-scale jobs don't need it
     )
 
 

@@ -70,7 +70,7 @@ def hvp(
     normalization: str = "mean",
     batch_size: int | None = None,
     dataset_size: int | None = None,
-    precision: str | None = "highest",
+    precision: str | None = "high",
 ) -> Any:
     """H(params) @ vector for the given batch, forward-over-reverse.
 
@@ -93,7 +93,7 @@ def hvp_fn(
     batch_size: int | None = None,
     dataset_size: int | None = None,
     remat: bool = False,
-    precision: str | None = "highest",
+    precision: str | None = "high",
 ) -> Callable[[Any, Any, Any], Any]:
     """Build ``(params, batch, vector) -> H @ vector``.
 
@@ -101,11 +101,13 @@ def hvp_fn(
     doubles activation memory (SURVEY.md §7 hard part #4), and rematerializing
     the forward trades FLOPs for HBM at LLM scale.
 
-    ``precision`` pins the matmul precision under the HVP trace; TPU default
-    (bf16 MXU passes) breaks Hessian symmetry at the ~1e-2 level, which the
-    Lanczos recurrence amplifies, so curvature defaults to "highest"
-    (SURVEY.md §7 hard part #3).  Pass ``None`` to keep the ambient precision
-    (e.g. for throughput-only probes).
+    ``precision`` pins the matmul precision under the HVP trace
+    (SURVEY.md §7 hard part #3).  Measured on a real v5e with GPT-2 124M:
+    TPU-default single-pass-bf16 breaks Hessian symmetry at ~1e-2 and
+    shifts Ritz values by ~2e-3 (fails the 1e-3 parity bar); "high"
+    (bf16x3) matches "highest" (f32, 6-pass) to 2e-5 at 1.57x the speed.
+    Curvature therefore defaults to "high"; pass "highest" for maximum
+    accuracy or ``None`` for the ambient precision.
     """
 
     def _hvp(params, batch, vector):

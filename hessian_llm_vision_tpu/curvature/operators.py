@@ -64,7 +64,7 @@ def HessianOperator(
     batch_size: int | None = None,
     dataset_size: int | None = None,
     remat: bool = False,
-    precision: str | None = "highest",
+    precision: str | None = "high",
     flattener: Flattener | None = None,
 ) -> LinearOperator:
     """Single-batch Hessian of ``loss_fn`` at ``params``.
@@ -97,7 +97,7 @@ def DatasetHessianOperator(
     batch_size: int | None = None,
     dataset_size: int | None = None,
     remat: bool = True,
-    precision: str | None = "highest",
+    precision: str | None = "high",
     flattener: Flattener | None = None,
 ) -> LinearOperator:
     """Hessian averaged over a whole dataset of stacked batches.
