@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--host_basis", action="store_true",
                    help="keep the Krylov basis in host RAM (basis > HBM; "
                    "the reference's CPU-offload mode)")
+    p.add_argument("--host_loop", action="store_true",
+                   help="host-driven T-only spectrum over one cached "
+                   "per-batch HVP program (LLM scale: bounded compile unit, "
+                   "no (k,P) basis in HBM)")
     p.add_argument("--no_reorth", action="store_true")
     p.add_argument("--out_spectrum", default=None)
     p.add_argument("--plot", default=None, help="save stem/density plot PNG")
@@ -128,8 +132,37 @@ def main(argv=None):
     if args.layerwise:
         return _layerwise_main(args, wl)
 
-    op = _make_operator(args, wl)
     key = jax.random.PRNGKey(args.vector_seed)
+
+    if args.host_loop:
+        from hessian_llm_vision_tpu.krylov import dataset_spectrum_host
+
+        def cb(i, alphas, betas):
+            if args.t_checkpoint:
+                save_tridiag(args.t_checkpoint, alphas, betas,
+                             vector_seed=args.vector_seed, iter=i)
+
+        t0 = time.time()
+        res = dataset_spectrum_host(
+            wl.loss_fn,
+            wl.params,
+            wl.batches,
+            args.lanczos_iters,
+            key=key,
+            normalization=args.normalization,
+            batch_size=wl.batch_size,
+            callback=cb,
+            progress=True,
+        )
+        spec = ritz_decomposition(res)
+        wall = time.time() - t0
+        from hessian_llm_vision_tpu.utils.flatten import tree_size
+
+        _report_and_outputs(args, spec, wall, tree_size(wl.params),
+                            len(wl.batches))
+        return spec
+
+    op = _make_operator(args, wl)
     t0 = time.time()
 
     if args.probes > 1:
@@ -175,14 +208,21 @@ def main(argv=None):
         )
         spec = ritz_decomposition(res, with_vectors=args.basis)
     wall = time.time() - t0
+    _report_and_outputs(args, spec, wall, op.dim, max(len(wl.batches), 1))
+    return spec
+
+
+def _report_and_outputs(args, spec, wall, dim, num_batches):
+    from hessian_llm_vision_tpu.io import save_spectrum
+    from hessian_llm_vision_tpu.krylov import trace_estimate
 
     ev = np.sort(np.asarray(spec.eigvals))
-    print(f"P = {op.dim}")
+    print(f"P = {dim}")
     print(f"lambda_max = {ev[-1]:.6f}  lambda_min = {ev[0]:.6f}")
     print(f"top-5 Ritz: {np.round(ev[-5:], 4).tolist()}")
     print(f"trace estimate (E[lambda]) = {float(trace_estimate(spec)):.6e}")
     print(f"wall-clock: {wall:.2f}s "
-          f"({args.lanczos_iters * max(len(wl.batches),1) / wall:.2f} HVPs/s)")
+          f"({args.lanczos_iters * num_batches / wall:.2f} HVPs/s)")
 
     if args.out_spectrum:
         save_spectrum(
@@ -209,7 +249,6 @@ def main(argv=None):
         err = ritz_relative_error(spec, other, top_k=5)
         print(f"top-5 Ritz max relative error vs {args.compare_to}: {err:.2e}")
         print(f"density overlap: {density_overlap(spec, other):.4f}")
-    return spec
 
 
 def _layerwise_main(args, wl):

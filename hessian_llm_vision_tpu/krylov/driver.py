@@ -1,0 +1,110 @@
+"""Host-driven spectrum computation for compiler-limited / huge models.
+
+The pattern proven by bench.py on real hardware: ONE small jitted
+per-batch HVP program (params/batches as explicit jit arguments — closure
+constants bloat remote compiles), dataset averaging and the Lanczos
+three-term recurrence driven from host, T assembled on host.  Per-iteration
+host dispatch is negligible next to an LLM-scale HVP, and no program ever
+exceeds one HVP (this machine's remote TPU compiler rejects anything
+bigger; real deployments also benefit from the bounded compile unit).
+
+Use `krylov.lanczos` (single fused scan) for models that fit comfortably;
+use this driver at GPT-2-124M scale and beyond.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hessian_llm_vision_tpu.krylov.lanczos import LanczosResult
+from hessian_llm_vision_tpu.utils.flatten import Flattener
+
+
+def dataset_spectrum_host(
+    loss_fn: Callable[[Any, Any], jax.Array],
+    params: Any,
+    batch_list: Sequence[Any],
+    num_iters: int,
+    *,
+    key: Optional[jax.Array] = None,
+    v0: Optional[jax.Array] = None,
+    normalization: str = "dataset",
+    batch_size: Optional[int] = None,
+    precision: Optional[str] = "high",
+    flattener: Optional[Flattener] = None,
+    callback: Optional[Callable[[int, np.ndarray, np.ndarray], None]] = None,
+    progress: bool = False,
+) -> LanczosResult:
+    """T-only Lanczos of the dataset-mean Hessian, host-driven.
+
+    ``batch_list``: equal-size device-ready batches (the loader).  Returns
+    a :class:`LanczosResult` (basis=None); feed to ``ritz_decomposition``.
+    ``callback(i, alphas, betas)`` per iteration for resumable checkpoints.
+    """
+    from hessian_llm_vision_tpu.curvature.hvp import hvp_fn
+
+    fl = flattener or Flattener(params)
+    if (v0 is None) == (key is None):
+        raise ValueError("pass exactly one of v0 / key")
+    num_batches = len(batch_list)
+    if normalization == "dataset":
+        # dataset-mean of equal batches == mean of per-batch means
+        per_batch_norm, scale = "mean", 1.0 / num_batches
+    elif normalization == "mean":
+        per_batch_norm, scale = "mean", 1.0 / num_batches
+    elif normalization == "sum":
+        if batch_size is None:
+            raise ValueError('normalization="sum" requires batch_size')
+        per_batch_norm, scale = "mean", batch_size / num_batches
+    else:
+        raise ValueError(normalization)
+    _hvp = hvp_fn(loss_fn, normalization=per_batch_norm, precision=precision)
+
+    @jax.jit
+    def batch_hvp(v, params, batch):
+        return fl.flatten(_hvp(params, batch, fl.unflatten(v)))
+
+    @jax.jit
+    def recurrence(w, q_cur, q_prev, beta_prev):
+        alpha = jnp.vdot(q_cur, w)
+        w = w - alpha * q_cur - beta_prev * q_prev
+        beta = jnp.linalg.norm(w)
+        return alpha, beta, w / jnp.maximum(beta, 1e-30)
+
+    if v0 is None:
+        v0 = jax.random.normal(key, (fl.size,), jnp.float32)
+    q_cur = v0.astype(jnp.float32)
+    q_cur = q_cur / jnp.maximum(jnp.linalg.norm(q_cur), 1e-30)
+    q_prev = jnp.zeros_like(q_cur)
+    beta_prev = jnp.float32(0.0)
+    alphas: List[float] = []
+    betas: List[float] = []
+    for i in range(num_iters):
+        t0 = time.perf_counter()
+        w = batch_hvp(q_cur, params, batch_list[0])
+        for b in batch_list[1:]:
+            w = w + batch_hvp(q_cur, params, b)
+        if scale != 1.0:
+            w = w * scale
+        alpha, beta, q_next = recurrence(w, q_cur, q_prev, beta_prev)
+        q_prev, q_cur, beta_prev = q_cur, q_next, beta
+        alphas.append(float(alpha))
+        betas.append(float(beta))
+        if callback is not None:
+            callback(i, np.asarray(alphas), np.asarray(betas[:-1]))
+        if progress:
+            print(
+                f"lanczos iter {i + 1}/{num_iters}  "
+                f"{time.perf_counter() - t0:.2f}s",
+                flush=True,
+            )
+    return LanczosResult(
+        alphas=jnp.asarray(alphas, jnp.float32),
+        betas=jnp.asarray(betas[:-1], jnp.float32),
+        basis=None,
+    )

@@ -1,0 +1,78 @@
+"""Host-driven dataset spectrum driver == fused DatasetHessianOperator path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hessian_llm_vision_tpu.curvature import DatasetHessianOperator
+from hessian_llm_vision_tpu.krylov import lanczos, ritz_decomposition
+from hessian_llm_vision_tpu.krylov.driver import dataset_spectrum_host
+from hessian_llm_vision_tpu.models import SpiralMLP, losses
+from hessian_llm_vision_tpu.data import make_spirals
+from hessian_llm_vision_tpu.utils.flatten import Flattener
+
+
+def test_driver_matches_fused_dataset_lanczos(key):
+    x, y = make_spirals(120, seed=13)
+    model = SpiralMLP(width=12, depth=2)
+    params = model.init(key, x[:4])["params"]
+
+    def loss_fn(p, b):
+        return losses.softmax_cross_entropy(model.apply({"params": p}, b[0]), b[1])
+
+    xs = jnp.asarray(x).reshape(4, 30, 2)
+    ys = jnp.asarray(y).reshape(4, 30)
+    batch_list = [(xs[i], ys[i]) for i in range(4)]
+    fl = Flattener(params)
+    v0 = jax.random.normal(jax.random.fold_in(key, 1), (fl.size,))
+
+    res_host = dataset_spectrum_host(
+        loss_fn, params, batch_list, 15, v0=v0, flattener=fl
+    )
+    op = DatasetHessianOperator(
+        loss_fn, params, (xs, ys), remat=False, flattener=fl
+    )
+    res_fused = lanczos(
+        op.matvec, op.dim, 15, v0=v0, reorth=False, store_basis=False
+    )
+    # without reorthogonalization, tiny f32 rounding differences between the
+    # two implementations amplify exponentially in LATE iterations (the
+    # Discrepancy.ipynb effect); the early recurrence and the converged
+    # extremal Ritz values are the stable comparables
+    np.testing.assert_allclose(
+        np.asarray(res_host.alphas[:6]), np.asarray(res_fused.alphas[:6]),
+        rtol=1e-4, atol=1e-5,
+    )
+    spec_h = ritz_decomposition(res_host)
+    spec_f = ritz_decomposition(res_fused)
+    np.testing.assert_allclose(
+        float(spec_h.eigvals[-1]), float(spec_f.eigvals[-1]), rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        float(spec_h.eigvals[0]), float(spec_f.eigvals[0]), rtol=1e-2, atol=1e-4
+    )
+
+
+def test_driver_callback_and_sum_normalization(key):
+    x, y = make_spirals(60, seed=14)
+    model = SpiralMLP(width=8, depth=1)
+    params = model.init(key, x[:4])["params"]
+
+    def loss_fn(p, b):
+        return losses.softmax_cross_entropy(model.apply({"params": p}, b[0]), b[1])
+
+    batch_list = [(jnp.asarray(x[:30]), jnp.asarray(y[:30])),
+                  (jnp.asarray(x[30:60]), jnp.asarray(y[30:60]))]
+    seen = []
+    res_sum = dataset_spectrum_host(
+        loss_fn, params, batch_list, 6, key=jax.random.PRNGKey(2),
+        normalization="sum", batch_size=30,
+        callback=lambda i, a, b: seen.append(i),
+    )
+    res_mean = dataset_spectrum_host(
+        loss_fn, params, batch_list, 6, key=jax.random.PRNGKey(2),
+    )
+    assert seen == list(range(6))
+    np.testing.assert_allclose(
+        np.asarray(res_sum.alphas), 30 * np.asarray(res_mean.alphas), rtol=1e-4
+    )
