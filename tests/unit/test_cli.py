@@ -1,0 +1,137 @@
+"""CLI smoke tests — every entry runs end-to-end on tiny CPU workloads.
+
+These guard the product surface (the reference's per-script UX) the same
+way the unit tiers guard the math.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def test_spectrum_cli(tmp_path, capsys):
+    from hessian_llm_vision_tpu.cli import spectrum
+
+    out = str(tmp_path / "spec")
+    spectrum.main([
+        "--model", "spiral", "--lanczos_iters", "8", "--batch_size", "30",
+        "--num_points", "120", "--out_spectrum", out,
+    ])
+    assert os.path.exists(out + ".npz")
+    assert "lambda_max" in capsys.readouterr().out
+
+
+def test_spectrum_cli_host_loop_and_compare(tmp_path, capsys):
+    from hessian_llm_vision_tpu.cli import spectrum
+
+    out = str(tmp_path / "spec")
+    args = [
+        "--model", "gpt2-tiny", "--lanczos_iters", "5", "--batch_size", "2",
+        "--num_batches", "2", "--max_length", "16",
+    ]
+    spectrum.main(args + ["--host_loop", "--out_spectrum", out])
+    spectrum.main(args + ["--host_loop", "--compare_to", out + ".npz"])
+    out_text = capsys.readouterr().out
+    assert "relative error" in out_text
+
+
+def test_spectrum_cli_layerwise(capsys):
+    from hessian_llm_vision_tpu.cli import spectrum
+
+    spectrum.main([
+        "--model", "spiral", "--lanczos_iters", "4", "--batch_size", "30",
+        "--num_points", "90", "--width", "8", "--depth", "1", "--layerwise",
+    ])
+    assert "P=" in capsys.readouterr().out
+
+
+def test_train_cli_and_resume(tmp_path, capsys):
+    from hessian_llm_vision_tpu.cli import train
+
+    state = str(tmp_path / "st")
+    loss1 = train.main([
+        "--model", "spiral", "--optimiser", "sgd", "--lr", "0.3",
+        "--epochs", "3", "--batch_size", "60", "--log_every", "100",
+        "--out", str(tmp_path / "runs"), "--save_state", state,
+    ])
+    loss2 = train.main([
+        "--model", "spiral", "--optimiser", "sgd", "--lr", "0.3",
+        "--epochs", "3", "--batch_size", "60", "--log_every", "100",
+        "--out", str(tmp_path / "runs"), "--resume_state", state,
+    ])
+    assert np.isfinite(loss1) and loss2 < loss1
+
+
+def test_train_cli_lanczos(tmp_path):
+    from hessian_llm_vision_tpu.cli import train
+
+    loss = train.main([
+        "--model", "spiral", "--optimiser", "lanczos", "--k", "4",
+        "--lr", "0.02", "--epochs", "2", "--batch_size", "60",
+        "--log_every", "100", "--out", str(tmp_path / "runs"),
+    ])
+    assert np.isfinite(loss)
+
+
+def test_evaluate_cli(tmp_path, capsys):
+    from hessian_llm_vision_tpu.cli import evaluate
+
+    out = str(tmp_path / "l.pkl")
+    evaluate.main([
+        "--model", "spiral", "--batch_size", "30", "--out_losses", out,
+    ])
+    assert os.path.exists(out)
+    assert "accuracy" in capsys.readouterr().out
+
+
+def test_sweep_cli(tmp_path):
+    from hessian_llm_vision_tpu.cli import sweep
+
+    out = str(tmp_path / "sweep.json")
+    results = sweep.main([
+        "--grid", "lr=0.1,0.3", "--out_json", out, "--",
+        "--model", "spiral", "--optimiser", "sgd", "--epochs", "1",
+        "--batch_size", "60", "--log_every", "100",
+        "--out", str(tmp_path / "runs"),
+    ])
+    assert len(results) == 2
+    assert results[0]["final_loss"] <= results[1]["final_loss"]
+    assert os.path.exists(out)
+
+
+def test_hpo_cli(tmp_path):
+    from hessian_llm_vision_tpu.cli import hpo
+
+    out = str(tmp_path / "best.json")
+    best = hpo.main([
+        "--trials", "2", "--optimiser", "adam", "--out_json", out, "--",
+        "--model", "spiral", "--epochs", "1", "--batch_size", "60",
+        "--log_every", "100", "--out", str(tmp_path / "runs"),
+    ])
+    assert np.isfinite(best["loss"])
+    with open(out) as f:
+        assert "params" in json.load(f)
+
+
+def test_forget_cli(tmp_path):
+    from hessian_llm_vision_tpu.cli import forget
+
+    out = str(tmp_path / "curves.npz")
+    base, proj = forget.main([
+        "--model", "spiral", "--epochs_a", "40", "--epochs_b", "15",
+        "--k", "4", "--lr", "0.5", "--width", "16", "--depth", "1",
+        "--num_points", "90", "--out_curves", out,
+    ])
+    assert len(base) == 15 and len(proj) == 15
+    with np.load(out) as z:
+        assert "baseline_drop" in z and "method_results" in z
+
+
+def test_devices_info_cli(capsys):
+    from hessian_llm_vision_tpu.cli import devices_info
+
+    rows = devices_info.main(["--cpu"])
+    assert len(rows) >= 1
+    assert "backend" in capsys.readouterr().out
