@@ -62,6 +62,13 @@ def _lm_batches(args, vocab_size) -> list:
             seed=args.data_seed,
             random_mask=getattr(args, "random_mask", False),
         )
+    max_id = int(stacked["input_ids"].max())
+    if max_id >= vocab_size:
+        raise SystemExit(
+            f"dataset token id {max_id} >= model vocab_size {vocab_size} "
+            "(e.g. gpt2-tiny with the real GPT-2 tokenizer); XLA would "
+            "silently clamp out-of-range ids — pick a matching model/tokenizer"
+        )
     n = stacked["input_ids"].shape[0]
     return [
         {k: jnp.asarray(v[i]) for k, v in stacked.items()} for i in range(n)
@@ -135,11 +142,7 @@ def build_workload(args) -> Workload:
         )
         model = SpiralMLP(width=args.width, depth=args.depth)
         params = model.init(key, x[:4])["params"]
-
-        def loss_fn(p, b):
-            return losses.softmax_cross_entropy(
-                model.apply({"params": p}, b[0]), b[1]
-            )
+        loss_fn = losses.classification_loss_fn(model)
 
         n = (len(x) // args.batch_size) * args.batch_size
         xs = jnp.asarray(x[:n]).reshape(-1, args.batch_size, 2)
@@ -162,11 +165,7 @@ def build_workload(args) -> Workload:
         x, y = x[sel], y[sel]
         model = SimpleNet()
         params = model.init(key, jnp.zeros((1, 28, 28, 1)))["params"]
-
-        def loss_fn(p, b):
-            return losses.softmax_cross_entropy(
-                model.apply({"params": p}, b[0]), b[1]
-            )
+        loss_fn = losses.classification_loss_fn(model)
 
         n = (len(x) // args.batch_size) * args.batch_size
         xs = jnp.asarray(x[:n]).reshape(-1, args.batch_size, 28, 28, 1)
@@ -205,11 +204,7 @@ def build_workload(args) -> Workload:
         if name == "vgg16":
             model = VGG16(num_classes=num_classes)
             params = model.init(key, jnp.zeros((1, 32, 32, 3)))["params"]
-
-            def loss_fn(p, b):
-                return losses.softmax_cross_entropy(
-                    model.apply({"params": p}, b[0]), b[1]
-                )
+            loss_fn = losses.classification_loss_fn(model)
         else:
             model = ResNet50(num_classes=num_classes)
             variables = model.init(

@@ -83,6 +83,9 @@ def _make_operator(args, wl):
         if n_sel == 0:
             raise SystemExit(f"--layer {args.layer!r} matches no parameters")
         print(f"[layer] restricting to {n_sel} parameter leaves")
+        if len(batches) > 1:
+            print(f"[layer] single-batch operator: using batch 1 of "
+                  f"{len(batches)} (combine with --num_batches 1 to silence)")
         return LayerHessianOperator(
             wl.loss_fn,
             wl.params,
@@ -163,6 +166,7 @@ def main(argv=None):
         return spec
 
     op = _make_operator(args, wl)
+    hvp_batches = 1 if (args.layer or len(wl.batches) == 1) else len(wl.batches)
     t0 = time.time()
 
     if args.probes > 1:
@@ -208,7 +212,7 @@ def main(argv=None):
         )
         spec = ritz_decomposition(res, with_vectors=args.basis)
     wall = time.time() - t0
-    _report_and_outputs(args, spec, wall, op.dim, max(len(wl.batches), 1))
+    _report_and_outputs(args, spec, wall, op.dim, hvp_batches)
     return spec
 
 

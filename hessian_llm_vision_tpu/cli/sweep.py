@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import itertools
 import json
+import math
 
 
 def parse_grid(items):
@@ -47,8 +48,10 @@ def main(argv=None):
             cli_args += [f"--{k}", v]
         print(f"=== sweep point {point} ===")
         try:
-            loss = train_cli.main(cli_args)
-        except SystemExit as e:
+            loss = float(train_cli.main(cli_args))
+            if not math.isfinite(loss):  # diverged (NaN) counts as failed
+                loss = float("inf")
+        except SystemExit:
             raise
         except Exception as e:  # a diverged point must not kill the sweep
             print(f"point failed: {type(e).__name__}: {e}")

@@ -95,6 +95,12 @@ def main(argv=None) -> float:
     logger = MultiLogger(loggers)
 
     accum = args.accumulation_steps
+    if args.optimiser == "lanczos-layer" and accum > 1:
+        raise SystemExit(
+            "--optimiser lanczos-layer does not support "
+            "--accumulation_steps > 1 (per-leaf Lanczos runs on the full "
+            "batch; drop the flag or use --optimiser lanczos)"
+        )
     if args.optimiser in ("sgd", "adam", "raw"):
         tx = {
             "sgd": lambda: sgd_momentum(lr, args.momentum, args.wd),

@@ -97,14 +97,15 @@ def EmpiricalFisherOperator(
     grads via ``vmap`` (no explicit outer products materialized).
     """
     fl = flattener or Flattener(params)
+    # per-example grads are independent of v — computed ONCE here, not per
+    # matvec (a k-fold saving on the dominant cost across Krylov iterations)
+    per_ex_grad = jax.vmap(
+        jax.grad(loss_fn_per_example), in_axes=(None, 0)
+    )(params, batch)
+    n = jax.tree_util.tree_leaves(batch)[0].shape[0]
 
     def matvec(v: jax.Array) -> jax.Array:
         vt = fl.unflatten(v)
-
-        per_ex_grad = jax.vmap(
-            jax.grad(loss_fn_per_example), in_axes=(None, 0)
-        )(params, batch)
-        n = jax.tree_util.tree_leaves(batch)[0].shape[0]
 
         # (gᵢᵀ v) per example, then weighted sum of gᵢ
         dots = jax.tree_util.tree_reduce(

@@ -100,13 +100,20 @@ def DatasetHessianOperator(
     precision: str | None = "high",
     flattener: Flattener | None = None,
 ) -> LinearOperator:
-    """Hessian averaged over a whole dataset of stacked batches.
+    """Hessian of the whole dataset of stacked batches.
 
     ``batches`` is a pytree whose leaves have a leading ``num_batches`` axis
     (the TPU-native replacement for looping a DataLoader); accumulation runs as one
     ``lax.scan`` inside the jitted matvec, replacing the reference's Python
     loop with ``loss *= batch/N`` scaling
     (/root/reference/gpt2_savehessian.py:130-163, diego_pythia.py:92-123).
+
+    Normalization semantics over the WHOLE dataset (identical to
+    ``krylov.driver.dataset_spectrum_host``):
+
+    * ``"dataset"`` / ``"mean"`` — Hessian of the dataset-mean loss;
+    * ``"sum"``     — Hessian of the dataset-summed loss
+                      (= dataset_size x mean).
     """
     fl = flattener or Flattener(params)
     num_batches = jax.tree_util.tree_leaves(batches)[0].shape[0]
@@ -122,6 +129,10 @@ def DatasetHessianOperator(
         remat=remat,
         precision=precision,
     )
+    # per-batch contributions: "dataset" -> mean*(batch/N) sums to the
+    # dataset mean; "mean" -> per-batch means must be averaged; "sum" ->
+    # per-batch means*batch_size sum to the dataset-summed loss
+    post_scale = 1.0 / num_batches if normalization == "mean" else 1.0
 
     def matvec(v: jax.Array) -> jax.Array:
         vt = fl.unflatten(v)
@@ -132,7 +143,7 @@ def DatasetHessianOperator(
 
         zero = jax.tree_util.tree_map(jnp.zeros_like, params)
         acc, _ = jax.lax.scan(body, zero, batches)
-        return fl.flatten(acc)
+        return fl.flatten(acc) * post_scale
 
     return LinearOperator(matvec, fl.size)
 
@@ -179,6 +190,8 @@ def BlockDiagonalOperator(
     masks: Sequence[Any] | None = None,
     *,
     normalization: str = "mean",
+    batch_size: int | None = None,
+    dataset_size: int | None = None,
     flattener: Flattener | None = None,
 ) -> LinearOperator:
     """Full block-diagonal Hessian action: ``v -> Σᵢ Mᵢ H (Mᵢ v)``.
@@ -200,7 +213,12 @@ def BlockDiagonalOperator(
                     jax.tree_util.tree_structure(params), leaves
                 )
             )
-    _hvp = hvp_fn(loss_fn, normalization=normalization)
+    _hvp = hvp_fn(
+        loss_fn,
+        normalization=normalization,
+        batch_size=batch_size,
+        dataset_size=dataset_size,
+    )
 
     def matvec(v: jax.Array) -> jax.Array:
         vt = fl.unflatten(v)

@@ -52,15 +52,15 @@ def dataset_spectrum_host(
     if (v0 is None) == (key is None):
         raise ValueError("pass exactly one of v0 / key")
     num_batches = len(batch_list)
-    if normalization == "dataset":
-        # dataset-mean of equal batches == mean of per-batch means
-        per_batch_norm, scale = "mean", 1.0 / num_batches
-    elif normalization == "mean":
+    # Whole-dataset semantics, identical to DatasetHessianOperator:
+    # "dataset"/"mean" -> Hessian of the dataset-mean loss;
+    # "sum" -> Hessian of the dataset-summed loss (= N x mean).
+    if normalization in ("dataset", "mean"):
         per_batch_norm, scale = "mean", 1.0 / num_batches
     elif normalization == "sum":
         if batch_size is None:
             raise ValueError('normalization="sum" requires batch_size')
-        per_batch_norm, scale = "mean", batch_size / num_batches
+        per_batch_norm, scale = "mean", float(batch_size)
     else:
         raise ValueError(normalization)
     _hvp = hvp_fn(loss_fn, normalization=per_batch_norm, precision=precision)

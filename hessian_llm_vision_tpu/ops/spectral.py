@@ -169,7 +169,7 @@ def rank_k_apply(
     """
     if use_pallas is None:
         use_pallas = (
-            jax.default_backend() not in ("cpu",)
+            jax.default_backend() == "tpu"
             and _TILE <= basis.shape[1] <= _PALLAS_MAX_P
         )
     if use_pallas:

@@ -73,6 +73,42 @@ def test_driver_callback_and_sum_normalization(key):
         loss_fn, params, batch_list, 6, key=jax.random.PRNGKey(2),
     )
     assert seen == list(range(6))
+    # "sum" = Hessian of the dataset-SUMMED loss = N x mean (N = 60)
     np.testing.assert_allclose(
-        np.asarray(res_sum.alphas), 30 * np.asarray(res_mean.alphas), rtol=1e-4
+        np.asarray(res_sum.alphas), 60 * np.asarray(res_mean.alphas), rtol=1e-4
     )
+
+
+def test_driver_and_operator_normalizations_agree(key):
+    """The two spectrum paths (fused operator / host driver) must give the
+    SAME operator for every normalization convention."""
+    from hessian_llm_vision_tpu.curvature import DatasetHessianOperator
+
+    x, y = make_spirals(60, seed=15)
+    model = SpiralMLP(width=8, depth=1)
+    params = model.init(key, x[:4])["params"]
+
+    def loss_fn(p, b):
+        return losses.softmax_cross_entropy(model.apply({"params": p}, b[0]), b[1])
+
+    xs = jnp.asarray(x).reshape(3, 20, 2)
+    ys = jnp.asarray(y).reshape(3, 20)
+    batch_list = [(xs[i], ys[i]) for i in range(3)]
+    fl = Flattener(params)
+    v0 = jax.random.normal(jax.random.fold_in(key, 1), (fl.size,))
+
+    for norm in ("dataset", "mean", "sum"):
+        op = DatasetHessianOperator(
+            loss_fn, params, (xs, ys), normalization=norm, remat=False,
+            flattener=fl,
+        )
+        res_f = lanczos(op.matvec, op.dim, 4, v0=v0, reorth=False,
+                        store_basis=False)
+        res_h = dataset_spectrum_host(
+            loss_fn, params, batch_list, 4, v0=v0, normalization=norm,
+            batch_size=20, flattener=fl,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_f.alphas), np.asarray(res_h.alphas),
+            rtol=1e-4, atol=1e-6, err_msg=f"normalization={norm}",
+        )
