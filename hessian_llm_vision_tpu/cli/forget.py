@@ -29,8 +29,10 @@ def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     add_common_args(p)
     p.add_argument("--lr", type=float, default=0.1)
+    p.add_argument("--lr_a", type=float, default=5e-3,
+                   help="Adam LR for the task-A pre-training phase")
     p.add_argument("--momentum", type=float, default=0.9)
-    p.add_argument("--epochs_a", type=int, default=30)
+    p.add_argument("--epochs_a", type=int, default=600)
     p.add_argument("--epochs_b", type=int, default=30)
     p.add_argument("--k", type=int, default=10, help="eigenbasis size")
     p.add_argument("--dataset_a", type=int, nargs="*", default=[0, 1, 2, 3, 4])
@@ -106,10 +108,11 @@ def main(argv=None):
     batch_a = (jnp.asarray(xa), jnp.asarray(ya))
     batch_b = (jnp.asarray(xb), jnp.asarray(yb))
 
-    # phase 0: train task A
-    tx = sgd_momentum(args.lr, args.momentum)
+    # phase 0: train task A to convergence (Adam; the scientific comparison
+    # is baseline-SGD vs projected-SGD on task B, not how A was trained)
     params_a, _ = _train_phase(
-        loss_fn, tx, params0, batch_a, args.epochs_a, lambda p: 0.0
+        loss_fn, optax.adam(args.lr_a), params0, batch_a, args.epochs_a,
+        lambda p: 0.0,
     )
     acc_a0 = acc_fn(params_a, xa, ya)
     print(f"task A trained: acc_A = {acc_a0:.3f}")

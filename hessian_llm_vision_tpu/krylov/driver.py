@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hessian_llm_vision_tpu.krylov.lanczos import LanczosResult
+from hessian_llm_vision_tpu.krylov.lanczos import LanczosResult, host_recurrence_step
 from hessian_llm_vision_tpu.utils.flatten import Flattener
 
 
@@ -69,13 +69,6 @@ def dataset_spectrum_host(
     def batch_hvp(v, params, batch):
         return fl.flatten(_hvp(params, batch, fl.unflatten(v)))
 
-    @jax.jit
-    def recurrence(w, q_cur, q_prev, beta_prev):
-        alpha = jnp.vdot(q_cur, w)
-        w = w - alpha * q_cur - beta_prev * q_prev
-        beta = jnp.linalg.norm(w)
-        return alpha, beta, w / jnp.maximum(beta, 1e-30)
-
     if v0 is None:
         v0 = jax.random.normal(key, (fl.size,), jnp.float32)
     q_cur = v0.astype(jnp.float32)
@@ -91,7 +84,7 @@ def dataset_spectrum_host(
             w = w + batch_hvp(q_cur, params, b)
         if scale != 1.0:
             w = w * scale
-        alpha, beta, q_next = recurrence(w, q_cur, q_prev, beta_prev)
+        alpha, beta, q_next = host_recurrence_step(w, q_cur, q_prev, beta_prev)
         q_prev, q_cur, beta_prev = q_cur, q_next, beta
         alphas.append(float(alpha))
         betas.append(float(beta))

@@ -60,6 +60,21 @@ def _normalize(v: jax.Array) -> jax.Array:
     return v / jnp.maximum(jnp.linalg.norm(v), _EPS)
 
 
+@jax.jit
+def host_recurrence_step(w, q_cur, q_prev, beta_prev):
+    """One Lanczos three-term update on device, for host-driven loops.
+
+    Shared by ``lanczos_checkpointed``, ``krylov.driver`` and
+    ``optim.lanczos_sgd_host`` (the host-orchestrated variants that keep
+    each jitted program small).  Returns ``(alpha, beta, q_next)``.
+    """
+    w = w.astype(jnp.float32)
+    alpha = jnp.vdot(q_cur, w)
+    w = w - alpha * q_cur - beta_prev * q_prev
+    beta = jnp.linalg.norm(w)
+    return alpha, beta, w / jnp.maximum(beta, _EPS)
+
+
 def _sharding_divisor(sharding) -> int:
     """Product of mesh-axis sizes the sharding assigns to the P axis (the
     last dim of the (k, P) basis)."""
@@ -211,19 +226,12 @@ def lanczos_checkpointed(
         betas = list(resume_state["betas"])
         start = len(alphas)
 
-    @jax.jit
-    def one_step(q_prev, q_cur, beta_prev, *mv_args):
-        w = matvec(q_cur, *mv_args).astype(jnp.float32)
-        alpha = jnp.vdot(q_cur, w)
-        w = w - alpha * q_cur - beta_prev * q_prev
-        beta = jnp.linalg.norm(w)
-        q_next = w / jnp.maximum(beta, _EPS)
-        return alpha, beta, q_cur, q_next
+    jit_mv = jax.jit(matvec)
 
     for i in range(start, num_iters):
-        alpha, beta, q_prev, q_cur = one_step(
-            q_prev, q_cur, beta_prev, *matvec_args
-        )
+        w = jit_mv(q_cur, *matvec_args)
+        alpha, beta, q_next = host_recurrence_step(w, q_cur, q_prev, beta_prev)
+        q_prev, q_cur = q_cur, q_next
         beta_prev = beta
         alphas.append(alpha)
         betas.append(beta)

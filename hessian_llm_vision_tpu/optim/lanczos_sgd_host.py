@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from hessian_llm_vision_tpu.curvature.hvp import hvp_fn
+from hessian_llm_vision_tpu.krylov.lanczos import host_recurrence_step
 from hessian_llm_vision_tpu.ops.spectral import spectral_adjust
 from hessian_llm_vision_tpu.optim.lanczos_sgd import LanczosSGDConfig
 from hessian_llm_vision_tpu.optim.manual import _lr_at
@@ -88,13 +89,6 @@ class HostLanczosSGDTrainer:
         def hvp_program(v, params, batch):
             return fl.flatten(_hvp(params, batch, fl.unflatten(v)))
 
-        @jax.jit
-        def recurrence(w, q_cur, q_prev, beta_prev):
-            alpha = jnp.vdot(q_cur, w)
-            w = w - alpha * q_cur - beta_prev * q_prev
-            beta = jnp.linalg.norm(w)
-            return alpha, beta, w / jnp.maximum(beta, 1e-30)
-
         cfg = config
 
         @jax.jit
@@ -129,7 +123,7 @@ class HostLanczosSGDTrainer:
 
         self._grad = grad_program
         self._hvp = hvp_program
-        self._recurrence = recurrence
+        self._recurrence = host_recurrence_step
         self._adjust_update = adjust_update
         self._rotate = rotate
 
