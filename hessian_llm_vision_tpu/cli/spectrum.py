@@ -146,23 +146,39 @@ def main(argv=None):
                              vector_seed=args.vector_seed, iter=i)
 
         t0 = time.time()
-        res = dataset_spectrum_host(
-            wl.loss_fn,
-            wl.params,
-            wl.batches,
-            args.lanczos_iters,
-            key=key,
-            normalization=args.normalization,
-            batch_size=wl.batch_size,
-            callback=cb,
-            progress=True,
+        # --probes > 1: sequential seeded probes, SLQ-averaged (the d.sh
+        # data_seed x vector_seed grid, in one process, at any model scale)
+        all_ev, all_ga = [], []
+        for pi in range(max(args.probes, 1)):
+            res = dataset_spectrum_host(
+                wl.loss_fn,
+                wl.params,
+                wl.batches,
+                args.lanczos_iters,
+                key=jax.random.fold_in(key, pi),
+                normalization=args.normalization,
+                batch_size=wl.batch_size,
+                callback=cb,
+                progress=args.probes == 1,
+            )
+            s = ritz_decomposition(res)
+            all_ev.append(np.asarray(s.eigvals))
+            all_ga.append(np.asarray(s.gammas))
+            if args.probes > 1:
+                print(f"probe {pi + 1}/{args.probes}: "
+                      f"lambda_max {all_ev[-1].max():.4f}")
+        from hessian_llm_vision_tpu.krylov.slq import Spectrum
+
+        spec = Spectrum(
+            eigvals=jnp.asarray(np.concatenate(all_ev)),
+            gammas=jnp.asarray(np.concatenate(all_ga) / len(all_ga)),
+            ritz_vectors=None,
         )
-        spec = ritz_decomposition(res)
         wall = time.time() - t0
         from hessian_llm_vision_tpu.utils.flatten import tree_size
 
         _report_and_outputs(args, spec, wall, tree_size(wl.params),
-                            len(wl.batches))
+                            len(wl.batches) * max(args.probes, 1))
         return spec
 
     op = _make_operator(args, wl)
