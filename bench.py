@@ -49,10 +49,10 @@ def main() -> None:
     # in f32 (logits alone are 1.6 GB per buffer at bs16/seq512/50k vocab)
     num_batches, batch_size, seq_len, iters = 4, 8, 512, 35
 
-    # f32 compute: bf16-dtype jvp-of-grad programs take ~10x longer to
-    # compile on the axon backend (measured: 331 s vs 31 s on a 16M model)
-    # for only ~1.4x faster steps, and the Lanczos recurrence wants f32
-    # HVPs anyway.
+    # f32 params with bf16x3 matmul precision (hvp_fn default "high"):
+    # measured Ritz-identical to full-f32 within 2e-5 at 1.57x the speed.
+    # Pure-bf16 compute dtype is broken for jvp-of-grad on this backend
+    # (compiles 10x slower AND runs 40x slower at 124M).
     cfg = GPT2Config.gpt2_124m(n_positions=seq_len, dtype=jnp.float32)
     model = GPT2LMHead(cfg)
     params = model.init_params(jax.random.PRNGKey(0), seq_len=seq_len)
