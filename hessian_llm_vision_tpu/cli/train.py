@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume_state", default=None,
                    help="resume from a --save_state checkpoint")
     p.add_argument("--tensorboard", action="store_true")
+    p.add_argument("--post_spectrum_iters", type=int, default=0,
+                   help="after training, run a random-seeded Lanczos of this "
+                   "depth and save {eigvals,gammas,V} (the reference's "
+                   "post-training eigenspace.pth, train_lanczos.py:372-410)")
+    p.add_argument("--post_spectrum_out", default=None)
     return p
 
 
@@ -168,6 +173,27 @@ def main(argv=None) -> float:
     if args.save_state:
         save_checkpoint(args.save_state, state)
         print(f"train state -> {args.save_state}")
+
+    if args.post_spectrum_iters > 0:
+        from hessian_llm_vision_tpu.curvature import HessianOperator
+        from hessian_llm_vision_tpu.io import save_spectrum
+        from hessian_llm_vision_tpu.krylov import lanczos, ritz_decomposition
+        import jax
+        import numpy as np
+
+        first = wl.batches[0]
+        op = HessianOperator(wl.loss_fn, state.params, first)
+        res = lanczos(
+            op.matvec, op.dim, args.post_spectrum_iters,
+            key=jax.random.PRNGKey(args.seed + 1), reorth=True,
+        )
+        spec = ritz_decomposition(res, with_vectors=True)
+        ev = np.sort(np.asarray(spec.eigvals))
+        print(f"post-training spectrum: lambda_max {ev[-1]:.4f} "
+              f"lambda_min {ev[0]:.4f}")
+        out = args.post_spectrum_out or os.path.join(rundir, "eigenspace")
+        save_spectrum(out, spec, iters=args.post_spectrum_iters)
+        print(f"eigenspace -> {out}.npz")
 
     # last stdout line is the final loss — the contract the reference's
     # Optuna harness relies on (optun.py:33-45)
