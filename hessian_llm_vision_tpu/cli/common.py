@@ -54,14 +54,25 @@ def _lm_batches(args, vocab_size) -> list:
                   "falling back to seeded random tokens")
     if not made:
         n_batches = max(1, int(args.num_batches))
-        stacked = random_token_batches(
-            n_batches,
-            args.batch_size,
-            args.max_length,
-            vocab_size,
-            seed=args.data_seed,
-            random_mask=getattr(args, "random_mask", False),
-        )
+        if args.dataset == "markov":
+            from hessian_llm_vision_tpu.data import markov_token_batches
+
+            stacked = markov_token_batches(
+                n_batches,
+                args.batch_size,
+                args.max_length,
+                min(vocab_size, 512),  # learnable chain over a small vocab
+                seed=args.data_seed,
+            )
+        else:
+            stacked = random_token_batches(
+                n_batches,
+                args.batch_size,
+                args.max_length,
+                vocab_size,
+                seed=args.data_seed,
+                random_mask=getattr(args, "random_mask", False),
+            )
     max_id = int(stacked["input_ids"].max())
     if max_id >= vocab_size:
         raise SystemExit(
@@ -236,7 +247,7 @@ def add_common_args(parser) -> None:
                         help="gpt2 | gpt2-tiny | pythia-70m | pythia-160m | "
                         "pythia-1.4b | spiral | simplenet | vgg16 | resnet50")
     parser.add_argument("--dataset", default="random",
-                        help="wikipedia | random (LM); builtin for vision")
+                        help="wikipedia | random | markov (LM); builtin for vision")
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--subsample", type=float, default=1.0)
     parser.add_argument("--max_length", type=int, default=64)

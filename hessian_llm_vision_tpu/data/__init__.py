@@ -2,6 +2,7 @@ from hessian_llm_vision_tpu.data.synthetic import (
     make_spirals,
     random_token_batches,
     random_image_batches,
+    markov_token_batches,
 )
 from hessian_llm_vision_tpu.data.vision import (
     load_mnist,
@@ -19,6 +20,7 @@ from hessian_llm_vision_tpu.data.text import (
 __all__ = [
     "make_spirals",
     "random_token_batches",
+    "markov_token_batches",
     "random_image_batches",
     "load_mnist",
     "load_cifar10",

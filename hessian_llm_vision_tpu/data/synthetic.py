@@ -79,3 +79,30 @@ def random_image_batches(
     x = rng.randn(num_batches, batch_size, *shape).astype(np.float32)
     y = rng.randint(0, num_classes, size=(num_batches, batch_size)).astype(np.int32)
     return x, y
+
+
+def markov_token_batches(
+    num_batches: int,
+    batch_size: int,
+    seq_len: int,
+    vocab_size: int,
+    seed: int = 0,
+    concentration: float = 0.1,
+):
+    """LEARNABLE synthetic LM data: tokens from a fixed sparse first-order
+    Markov chain (uniform-random tokens have no structure, so losses on
+    them cannot descend below ln(V) — useless for convergence tests).
+
+    Returns the same stacked dict shape as :func:`random_token_batches`.
+    """
+    rng = np.random.RandomState(seed)
+    # sparse-ish transition matrix via Dirichlet rows
+    T = rng.dirichlet(np.full(vocab_size, concentration), size=vocab_size)
+    ids = np.empty((num_batches * batch_size, seq_len), np.int32)
+    state = rng.randint(0, vocab_size, size=num_batches * batch_size)
+    for t in range(seq_len):
+        ids[:, t] = state
+        u = rng.rand(len(state), 1)
+        state = (T[state].cumsum(axis=1) > u).argmax(axis=1)
+    ids = ids.reshape(num_batches, batch_size, seq_len)
+    return {"input_ids": ids, "attention_mask": np.ones_like(ids)}
