@@ -30,11 +30,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
 _TILE = 8 * 1024  # P-axis tile per grid step (f32: 32 KB of g, k*32KB of V)
-# Auto-dispatch ceiling: this machine's remote TPU compiler crashes on the
-# Pallas kernel above ~32M-element vectors (works at 15.5M, fails at 124M);
-# the XLA-fused jnp path is bandwidth-bound and robust at any size, so
-# Pallas is used in the window where it is proven.
-_PALLAS_MAX_P = 32 * 1024 * 1024
 
 
 def _pad_to(x: jax.Array, n: int, axis: int = -1) -> jax.Array:
@@ -162,16 +157,19 @@ def rank_k_apply(
     use_pallas: bool | None = None,
     interpret: bool = False,
 ) -> jax.Array:
-    """Dispatch: Pallas TPU kernel on TPU backends, jnp reference elsewhere.
+    """Rank-k apply with XLA fusion by default; Pallas kernel opt-in.
 
-    ``use_pallas=None`` auto-detects.  Problems smaller than one tile gain
-    nothing from the kernel and use the reference path.
+    Measured on a real v5e (k=35, P=16M, chained dependent calls): the
+    XLA-fused jnp expression sustains 523 GB/s (64% of HBM peak) — this
+    bandwidth-bound matvec pair is exactly what the XLA fuser is good at —
+    while the hand-written Pallas kernel's revisited-accumulator grid
+    defeats double-buffering (115x slower), and the remote compiler on this
+    machine rejects it above ~32M elements.  The kernel remains available
+    (``use_pallas=True``) with full parity tests as the starting point for
+    a pipelined rewrite; the default is the measured-fastest path.
     """
     if use_pallas is None:
-        use_pallas = (
-            jax.default_backend() == "tpu"
-            and _TILE <= basis.shape[1] <= _PALLAS_MAX_P
-        )
+        use_pallas = False
     if use_pallas:
         return _rank_k_apply_pallas(g, basis, coeffs, interpret=interpret)
     return rank_k_apply_reference(g, basis, coeffs)
