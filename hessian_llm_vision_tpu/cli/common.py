@@ -26,6 +26,10 @@ class Workload:
     batch_size: int
     apply_fn: Optional[Callable] = None  # classifier apply for accuracy eval
     labels: Optional[Any] = None
+    # for GGN/Fisher operators: model_fn(params, batch)->outputs and
+    # out_loss_fn(outputs, batch)->scalar (loss_fn == out_loss_fn(model_fn))
+    model_fn: Optional[Callable] = None
+    out_loss_fn: Optional[Callable] = None
 
 
 def _lm_batches(args, vocab_size) -> list:
@@ -117,6 +121,14 @@ def build_workload(args) -> Workload:
             from hessian_llm_vision_tpu.io import load_checkpoint
 
             params = load_checkpoint(args.checkpoint, template=params)
+        def lm_model_fn(p, b, _model=model):
+            return _model.apply({"params": p}, b["input_ids"])
+
+        def lm_out_loss(logits, b):
+            return losses.causal_lm_loss(
+                logits, b["input_ids"], b.get("attention_mask")
+            )
+
         return Workload(
             name,
             model,
@@ -124,6 +136,8 @@ def build_workload(args) -> Workload:
             losses.lm_loss_fn(model),
             _lm_batches(args, cfg.vocab_size),
             args.batch_size,
+            model_fn=lm_model_fn,
+            out_loss_fn=lm_out_loss,
         )
 
     if name.startswith("pythia"):
@@ -136,6 +150,14 @@ def build_workload(args) -> Workload:
             from hessian_llm_vision_tpu.io import load_checkpoint
 
             params = load_checkpoint(args.checkpoint, template=params)
+        def lm_model_fn(p, b, _model=model):
+            return _model.apply({"params": p}, b["input_ids"])
+
+        def lm_out_loss(logits, b):
+            return losses.causal_lm_loss(
+                logits, b["input_ids"], b.get("attention_mask")
+            )
+
         return Workload(
             name,
             model,
@@ -143,6 +165,8 @@ def build_workload(args) -> Workload:
             losses.lm_loss_fn(model),
             _lm_batches(args, cfg.vocab_size),
             args.batch_size,
+            model_fn=lm_model_fn,
+            out_loss_fn=lm_out_loss,
         )
 
     if name in ("mlp", "spiral"):
@@ -158,6 +182,12 @@ def build_workload(args) -> Workload:
         n = (len(x) // args.batch_size) * args.batch_size
         xs = jnp.asarray(x[:n]).reshape(-1, args.batch_size, 2)
         ys = jnp.asarray(y[:n]).reshape(-1, args.batch_size)
+        def cls_model_fn(p, b, _model=model):
+            return _model.apply({"params": p}, b[0])
+
+        def cls_out_loss(logits, b):
+            return losses.softmax_cross_entropy(logits, b[1])
+
         return Workload(
             name,
             model,
@@ -166,6 +196,8 @@ def build_workload(args) -> Workload:
             [(xs[i], ys[i]) for i in range(xs.shape[0])],
             args.batch_size,
             apply_fn=lambda p, xx: model.apply({"params": p}, xx),
+            model_fn=cls_model_fn,
+            out_loss_fn=cls_out_loss,
         )
 
     if name in ("simplenet", "mnist"):
@@ -181,6 +213,12 @@ def build_workload(args) -> Workload:
         n = (len(x) // args.batch_size) * args.batch_size
         xs = jnp.asarray(x[:n]).reshape(-1, args.batch_size, 28, 28, 1)
         ys = jnp.asarray(y[:n]).reshape(-1, args.batch_size)
+        def cls_model_fn(p, b, _model=model):
+            return _model.apply({"params": p}, b[0])
+
+        def cls_out_loss(logits, b):
+            return losses.softmax_cross_entropy(logits, b[1])
+
         return Workload(
             name,
             model,
@@ -189,6 +227,8 @@ def build_workload(args) -> Workload:
             [(xs[i], ys[i]) for i in range(xs.shape[0])],
             args.batch_size,
             apply_fn=lambda p, xx: model.apply({"params": p}, xx),
+            model_fn=cls_model_fn,
+            out_loss_fn=cls_out_loss,
         )
 
     if name in ("vgg16", "resnet50"):

@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="host-driven T-only spectrum over one cached "
                    "per-batch HVP program (LLM scale: bounded compile unit, "
                    "no (k,P) basis in HBM)")
+    p.add_argument("--operator", default="hessian",
+                   help="hessian | ggn | fisher (GGN = J^T H_out J, Fisher = "
+                   "GGN of the NLL — colaexp.py parity; single-batch)")
     p.add_argument("--no_reorth", action="store_true")
     p.add_argument("--out_spectrum", default=None)
     p.add_argument("--plot", default=None, help="save stem/density plot PNG")
@@ -66,6 +69,8 @@ def build_parser() -> argparse.ArgumentParser:
 def _make_operator(args, wl):
     from hessian_llm_vision_tpu.curvature import (
         DatasetHessianOperator,
+        GGNOperator,
+        FisherOperator,
         HessianOperator,
         LayerHessianOperator,
     )
@@ -73,6 +78,18 @@ def _make_operator(args, wl):
 
     batches = wl.batches
     n_total = len(batches) * wl.batch_size
+    if args.operator in ("ggn", "fisher"):
+        if wl.model_fn is None:
+            raise SystemExit(f"--operator {args.operator} unsupported for "
+                             f"model {wl.name!r} (no model_fn)")
+        if len(batches) > 1:
+            print(f"[{args.operator}] single-batch operator: using batch 1 "
+                  f"of {len(batches)}")
+        maker = GGNOperator if args.operator == "ggn" else FisherOperator
+        return maker(wl.model_fn, wl.out_loss_fn, wl.params, batches[0],
+                     damping=0.0)
+    if args.operator != "hessian":
+        raise SystemExit(f"unknown --operator {args.operator!r}")
     if args.layer:
         mask = trees.subtree_mask(
             wl.params, lambda name, key=args.layer: key in name
@@ -182,7 +199,11 @@ def main(argv=None):
         return spec
 
     op = _make_operator(args, wl)
-    hvp_batches = 1 if (args.layer or len(wl.batches) == 1) else len(wl.batches)
+    hvp_batches = (
+        1
+        if (args.layer or args.operator != "hessian" or len(wl.batches) == 1)
+        else len(wl.batches)
+    )
     t0 = time.time()
 
     if args.probes > 1:

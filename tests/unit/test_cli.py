@@ -135,3 +135,26 @@ def test_devices_info_cli(capsys):
     rows = devices_info.main(["--cpu"])
     assert len(rows) >= 1
     assert "backend" in capsys.readouterr().out
+
+
+def test_spectrum_cli_ggn_and_fisher(capsys):
+    from hessian_llm_vision_tpu.cli import spectrum
+
+    for op in ("ggn", "fisher"):
+        spec = spectrum.main([
+            "--model", "spiral", "--operator", op, "--lanczos_iters", "8",
+            "--batch_size", "30", "--num_points", "90", "--width", "8",
+            "--depth", "1",
+        ])
+        ev = np.sort(np.asarray(spec.eigvals))
+        assert ev[0] > -1e-4, f"{op} spectrum must be PSD, got {ev[0]}"
+
+
+def test_spectrum_cli_rejects_unknown_operator():
+    import pytest
+
+    from hessian_llm_vision_tpu.cli import spectrum
+
+    with pytest.raises(SystemExit):
+        spectrum.main(["--model", "spiral", "--operator", "bogus",
+                       "--lanczos_iters", "4", "--batch_size", "30"])
