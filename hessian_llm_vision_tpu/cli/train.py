@@ -27,7 +27,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     add_common_args(p)
     p.add_argument("--optimiser", default="sgd",
-                   help="sgd | adam | raw | lanczos | lanczos-layer")
+                   help="sgd | adam | raw | lanczos | lanczos-layer | gn | ngd")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--wd", type=float, default=0.0)
@@ -37,6 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--accumulation_steps", type=int, default=1)
     p.add_argument("--lanczos_momentum", type=float, default=0.0)
     p.add_argument("--refresh_every", type=int, default=1)
+    p.add_argument("--damping", type=float, default=1e-3,
+                   help="GN/NGD curvature damping (colaexp.py PSD shift)")
+    p.add_argument("--cg_iters", type=int, default=20)
     p.add_argument("--linear_decay_steps", type=int, default=0)
     p.add_argument("--log_every", type=int, default=10)
     p.add_argument("--save_checkpoint", default=None)
@@ -133,6 +136,38 @@ def main(argv=None) -> float:
         init_fn, step_fn = maker(
             wl.loss_fn, wl.params, cfg, batch_size=wl.batch_size
         )
+    elif args.optimiser in ("gn", "ngd"):
+        from hessian_llm_vision_tpu.optim import (
+            make_gauss_newton_step,
+            make_natural_gradient_step,
+        )
+
+        if wl.model_fn is None:
+            raise SystemExit(
+                f"--optimiser {args.optimiser} unsupported for {wl.name!r}"
+            )
+        maker = (
+            make_gauss_newton_step
+            if args.optimiser == "gn"
+            else make_natural_gradient_step
+        )
+        second_order_step = maker(
+            wl.model_fn,
+            wl.out_loss_fn,
+            wl.loss_fn,
+            wl.params,
+            lr=args.lr,
+            damping=args.damping,
+            cg_iters=args.cg_iters,
+        )
+
+        # adapt to the train-loop API: the state IS the params pytree
+        def init_fn(params):
+            return params
+
+        def step_fn(state, batch):
+            return second_order_step(state, batch)
+
     else:
         raise SystemExit(f"unknown --optimiser {args.optimiser!r}")
 

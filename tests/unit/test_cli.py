@@ -158,3 +158,15 @@ def test_spectrum_cli_rejects_unknown_operator():
     with pytest.raises(SystemExit):
         spectrum.main(["--model", "spiral", "--operator", "bogus",
                        "--lanczos_iters", "4", "--batch_size", "30"])
+
+
+def test_train_cli_gn_and_ngd(tmp_path):
+    from hessian_llm_vision_tpu.cli import train
+
+    for opt in ("gn", "ngd"):
+        loss = train.main([
+            "--model", "spiral", "--optimiser", opt, "--lr", "0.5",
+            "--damping", "0.1", "--epochs", "2", "--batch_size", "60",
+            "--log_every", "100", "--out", str(tmp_path / "runs"),
+        ])
+        assert np.isfinite(loss), f"{opt} diverged"
