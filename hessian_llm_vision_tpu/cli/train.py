@@ -49,6 +49,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume_state", default=None,
                    help="resume from a --save_state checkpoint")
     p.add_argument("--tensorboard", action="store_true")
+    p.add_argument("--snapshot_every", type=int, default=0,
+                   help="every N steps, compute a T-only Lanczos spectrum of "
+                   "the current batch and log/save it (interleaved "
+                   "spectrum-during-training, train_lanczos.py)")
+    p.add_argument("--snapshot_iters", type=int, default=10)
     p.add_argument("--post_spectrum_iters", type=int, default=0,
                    help="after training, run a random-seeded Lanczos of this "
                    "depth and save {eigvals,gammas,V} (the reference's "
@@ -192,6 +197,33 @@ def main(argv=None) -> float:
         state0 = load_checkpoint(args.resume_state, template=state0)
         print(f"resumed train state <- {args.resume_state}")
 
+    on_state = None
+    if args.snapshot_every > 0:
+        from hessian_llm_vision_tpu.curvature import HessianOperator
+        from hessian_llm_vision_tpu.io import save_tridiag
+        from hessian_llm_vision_tpu.krylov import lanczos, ritz_decomposition
+        import jax
+        import numpy as np
+
+        def on_state(step, state, batch):
+            params = getattr(state, "params", state)
+            b = batch
+            if accum > 1:  # micro-batched: snapshot the first micro-batch
+                b = jax.tree_util.tree_map(lambda x: x[0], batch)
+            op = HessianOperator(wl.loss_fn, params, b)
+            res = lanczos(
+                op.matvec, op.dim, args.snapshot_iters,
+                key=jax.random.PRNGKey(step), reorth=False, store_basis=False,
+            )
+            spec = ritz_decomposition(res)
+            ev = np.sort(np.asarray(spec.eigvals))
+            print(f"[snapshot step {step}] lambda_max {ev[-1]:.4f} "
+                  f"lambda_min {ev[0]:.4f}")
+            save_tridiag(
+                os.path.join(rundir, f"T_step{step:06d}"),
+                res.alphas, res.betas, step=step,
+            )
+
     state = train(
         step_fn,
         state0,
@@ -199,6 +231,8 @@ def main(argv=None) -> float:
         num_epochs=args.epochs,
         log_every=args.log_every,
         on_log=on_log,
+        on_state=on_state,
+        on_state_every=args.snapshot_every,
     )
     logger.close()
 

@@ -88,6 +88,8 @@ def train(
     log_every: int = 10,
     on_log: Optional[Callable[[int, Dict[str, float]], None]] = None,
     on_epoch_end: Optional[Callable[[int, Any], None]] = None,
+    on_state: Optional[Callable[[int, Any, Any], None]] = None,
+    on_state_every: int = 0,
     ema_decay: float = 0.99,
     donate: bool = True,
 ) -> Any:
@@ -97,6 +99,11 @@ def train(
     batches.  Tracks the reference's EMA loss (0.99 decay,
     gpt2_hessian_gpu.py:268-276) and per-step wall-clock.  Returns the
     final state.
+
+    ``on_state(step, state, batch)`` fires every ``on_state_every`` steps
+    (0 = never) with the LIVE state — the hook for interleaved diagnostics
+    like spectrum snapshots (the train_lanczos.py purpose).  Note: with
+    ``donate=True`` the hook must not retain ``state`` beyond the call.
     """
     jit_step = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
     ema_loss = None
@@ -121,6 +128,12 @@ def train(
                 ema_decay * ema_loss + (1 - ema_decay) * loss
             )
             last = (global_step, metrics, dt)
+            if (
+                on_state is not None
+                and on_state_every > 0
+                and global_step % on_state_every == 0
+            ):
+                on_state(global_step, state, batch)
             if on_log is not None and global_step % log_every == 0:
                 emit(global_step, metrics, dt)
                 last_logged = global_step

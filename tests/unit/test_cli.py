@@ -170,3 +170,24 @@ def test_train_cli_gn_and_ngd(tmp_path):
             "--log_every", "100", "--out", str(tmp_path / "runs"),
         ])
         assert np.isfinite(loss), f"{opt} diverged"
+
+
+def test_train_cli_spectrum_snapshots(tmp_path):
+    import glob
+
+    from hessian_llm_vision_tpu.cli import train
+
+    loss = train.main([
+        "--model", "spiral", "--optimiser", "adam", "--lr", "3e-3",
+        "--epochs", "2", "--batch_size", "60", "--log_every", "100",
+        "--snapshot_every", "8", "--snapshot_iters", "5",
+        "--out", str(tmp_path / "runs"),
+    ])
+    assert np.isfinite(loss)
+    snaps = glob.glob(str(tmp_path / "runs" / "**" / "T_step*.npz"),
+                      recursive=True)
+    assert len(snaps) >= 2
+    from hessian_llm_vision_tpu.io import load_tridiag
+
+    a, b = load_tridiag(snaps[0])
+    assert a.shape == (5,) and b.shape == (4,)
