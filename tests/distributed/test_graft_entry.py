@@ -1,0 +1,23 @@
+"""The driver entry points stay green (full multichip LanczosSGD step)."""
+
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
+
+
+def test_dryrun_multichip_8():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_entry_traces():
+    import jax
+
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.eval_shape(fn, *args)
+    assert out.shape == () and str(out.dtype) == "float32"
