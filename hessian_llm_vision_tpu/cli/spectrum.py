@@ -46,7 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--layerwise", action="store_true",
                    help="block-diagonal spectrum: one spectrum per leaf")
     p.add_argument("--t_checkpoint", default=None,
-                   help="save T every iteration (resumable, diego_pythia mode)")
+                   help="save T + full Lanczos state every iteration "
+                   "(resumable, diego_pythia mode)")
+    p.add_argument("--resume_spectrum", default=None,
+                   help="resume an interrupted --t_checkpoint run from its "
+                   ".state.npz file")
     p.add_argument("--host_basis", action="store_true",
                    help="keep the Krylov basis in host RAM (basis > HBM; "
                    "the reference's CPU-offload mode)")
@@ -228,14 +232,34 @@ def main(argv=None):
             reorth=not args.no_reorth, callback=cb,
         )
         spec = ritz_decomposition(res, with_vectors=args.basis)
-    elif args.t_checkpoint:
+    elif args.t_checkpoint or args.resume_spectrum:
+        from hessian_llm_vision_tpu.io.spectra import (
+            load_lanczos_state,
+            save_lanczos_state,
+        )
+
+        t_path = args.t_checkpoint or (
+            args.resume_spectrum.replace(".state.npz", "").replace(".state", "")
+        )
+
         def cb(i, alphas, betas):
-            save_tridiag(args.t_checkpoint, alphas, betas,
+            save_tridiag(t_path, alphas, betas,
                          vector_seed=args.vector_seed, iter=i)
             print(f"step {i + 1}  T checkpointed")
 
+        def scb(i, st):
+            save_lanczos_state(t_path + ".state", **st)
+
+        resume = None
+        if args.resume_spectrum:
+            resume = load_lanczos_state(args.resume_spectrum)
+            print(f"resuming at iteration {len(resume['alphas'])} "
+                  f"<- {args.resume_spectrum}")
+
         res = lanczos_checkpointed(
-            op.matvec, op.dim, args.lanczos_iters, key=key, callback=cb
+            op.matvec, op.dim, args.lanczos_iters,
+            key=None if resume else key,
+            callback=cb, state_callback=scb, resume_state=resume,
         )
         spec = ritz_decomposition(res, with_vectors=False)
     else:

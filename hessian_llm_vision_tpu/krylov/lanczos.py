@@ -191,6 +191,7 @@ def lanczos_checkpointed(
     v0: Optional[jax.Array] = None,
     key: Optional[jax.Array] = None,
     callback: Optional[Callable[[int, jnp.ndarray, jnp.ndarray], None]] = None,
+    state_callback: Optional[Callable[[int, dict], None]] = None,
     resume_state: Optional[dict] = None,
     matvec_args: tuple = (),
 ) -> LanczosResult:
@@ -241,6 +242,14 @@ def lanczos_checkpointed(
                 jnp.stack(alphas),
                 jnp.stack(betas[:-1]) if len(betas) > 1 else jnp.zeros((0,)),
             )
+        if state_callback is not None:
+            state_callback(i, {
+                "q_prev": q_prev,
+                "q_cur": q_cur,
+                "beta_prev": beta_prev,
+                "alphas": alphas,
+                "betas": betas,
+            })
 
     return LanczosResult(
         alphas=jnp.stack(alphas),

@@ -191,3 +191,22 @@ def test_train_cli_spectrum_snapshots(tmp_path):
 
     a, b = load_tridiag(snaps[0])
     assert a.shape == (5,) and b.shape == (4,)
+
+
+def test_spectrum_cli_crash_resume(tmp_path):
+    """Interrupted-then-resumed spectrum == uninterrupted spectrum."""
+    from hessian_llm_vision_tpu.cli import spectrum
+
+    base = ["--model", "spiral", "--batch_size", "30", "--num_points", "90",
+            "--width", "8", "--depth", "1"]
+    t = str(tmp_path / "T")
+    full = spectrum.main(base + ["--lanczos_iters", "10",
+                                 "--t_checkpoint", str(tmp_path / "Tf")])
+    spectrum.main(base + ["--lanczos_iters", "4", "--t_checkpoint", t])
+    resumed = spectrum.main(base + ["--lanczos_iters", "10",
+                                    "--resume_spectrum", t + ".state.npz"])
+    np.testing.assert_allclose(
+        np.sort(np.asarray(resumed.eigvals)),
+        np.sort(np.asarray(full.eigvals)),
+        rtol=1e-5,
+    )
