@@ -74,3 +74,25 @@ def test_lora_hessian_operator(key):
     np.testing.assert_allclose(
         float(jnp.vdot(u, op(v))), float(jnp.vdot(op(u), v)), rtol=5e-3, atol=1e-5
     )
+
+
+def test_lanczos_sgd_on_lora_adapters(key):
+    """Spectrum-aware LoRA training: the full LanczosSGD step runs on the
+    adapter subspace (the headline composition claim)."""
+    from hessian_llm_vision_tpu.optim import LanczosSGDConfig, make_lanczos_sgd_step
+
+    cfg, model, params, batch = _setup(key)
+    adapters = lora_init(params, rank=2, key=jax.random.fold_in(key, 1),
+                         targets=r".*c_attn/kernel$")
+    loss = lora_loss_fn(losses.lm_loss_fn(model), params)
+    ocfg = LanczosSGDConfig(k=4, delta=1e-4, lr=1e-3, momentum=0.9,
+                            normalization="sum")
+    init_fn, step_fn = make_lanczos_sgd_step(loss, adapters, ocfg, batch_size=2)
+    state = init_fn(adapters)
+    losses_seen = []
+    step = jax.jit(step_fn)
+    for _ in range(5):
+        state, m = step(state, batch)
+        losses_seen.append(float(m["loss"]))
+    assert np.isfinite(losses_seen).all()
+    assert np.isfinite(float(m["eig_max"]))
