@@ -76,24 +76,29 @@ def project_out_reference(g: jax.Array, basis: jax.Array) -> jax.Array:
 # ----------------------------------------------------------------------------
 
 
-def _dots_kernel(v_ref, g_ref, out_ref):
+def _dots_kernel(v_ref, g_ref, out_ref, acc_ref):
     """Accumulate partial dot products c_j += Σ_tile V[j, tile] * g[tile].
 
-    Grid is 1-D over P tiles; TPU grids execute sequentially so the (k, LANE)
-    output block acts as an accumulator across steps.
+    The accumulator is VMEM SCRATCH (persists across the sequential TPU
+    grid) and the HBM output block is written ONCE on the final step —
+    accumulating directly into a revisited OUTPUT block forces an HBM
+    round-trip every step and serializes the input pipeline.
     """
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # (k, T) @ (T, LANE) -> (k, LANE); g broadcast into lanes of a thin matmul
     g_col = g_ref[:].reshape(-1, _LANE)  # (T/LANE, LANE)
     v = v_ref[:]  # (k, T)
     k = v.shape[0]
     vr = v.reshape(k, -1, _LANE)  # (k, T/LANE, LANE)
-    out_ref[:] += jnp.sum(vr * g_col[None, :, :], axis=1)
+    acc_ref[:] += jnp.sum(vr * g_col[None, :, :], axis=1)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
 
 
 def _axpy_kernel(v_ref, g_ref, c_ref, out_ref):
@@ -109,24 +114,29 @@ def _rank_k_apply_pallas(
     g: jax.Array, basis: jax.Array, coeffs: jax.Array, interpret: bool = False
 ) -> jax.Array:
     k, p = basis.shape
-    p_pad = _round_up(p, _TILE)
     k_pad = _round_up(max(k, 8), 8)
+    # fixed 8K tile: larger tiles trigger Mosaic relayouts of the (k, T)
+    # reshape that dominate runtime (measured 2.7 s/call at 24K tiles vs
+    # 74 ms at 8K); per-grid-step overhead is the remaining cost driver
+    tile = _TILE
+    p_pad = _round_up(p, tile)
     g_p = _pad_to(g.astype(jnp.float32), p_pad)
     v_p = _pad_to(_pad_to(basis.astype(jnp.float32), p_pad, axis=1), k_pad, axis=0)
-    n_tiles = p_pad // _TILE
+    n_tiles = p_pad // tile
 
     # pass 1: dots (k_pad, LANE) — lane-replicated partial sums, reduced after
     dots = pl.pallas_call(
         _dots_kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((k_pad, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_pad, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (k_pad, _LANE), lambda i: (0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((k_pad, _LANE), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((k_pad, _LANE), jnp.float32)],
         interpret=interpret,
     )(v_p, g_p)
     c_full = jnp.sum(dots, axis=1)  # (k_pad,)
@@ -138,11 +148,11 @@ def _rank_k_apply_pallas(
         _axpy_kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((k_pad, _TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_pad, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM),
             pl.BlockSpec((k_pad, _LANE), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((tile,), lambda i: (i,), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((p_pad,), jnp.float32),
         interpret=interpret,
     )(v_p, g_p, c_cols)
@@ -160,13 +170,14 @@ def rank_k_apply(
     """Rank-k apply with XLA fusion by default; Pallas kernel opt-in.
 
     Measured on a real v5e (k=35, P=16M, chained dependent calls): the
-    XLA-fused jnp expression sustains 523 GB/s (64% of HBM peak) — this
-    bandwidth-bound matvec pair is exactly what the XLA fuser is good at —
-    while the hand-written Pallas kernel's revisited-accumulator grid
-    defeats double-buffering (115x slower), and the remote compiler on this
-    machine rejects it above ~32M elements.  The kernel remains available
-    (``use_pallas=True``) with full parity tests as the starting point for
-    a pipelined rewrite; the default is the measured-fastest path.
+    XLA-fused jnp expression sustains ~525 GB/s (64% of HBM peak) — this
+    bandwidth-bound matvec pair is exactly what the XLA fuser is good at.
+    The hand kernel's best variant (VMEM-scratch accumulator, 8K tiles)
+    reaches 74 ms vs jnp's 8.8 ms: per-grid-step overhead dominates at
+    small tiles and Mosaic relayouts of the in-kernel reshape dominate at
+    large ones, and this machine's remote compiler rejects it above ~32M
+    elements.  The kernel remains available (``use_pallas=True``) with
+    parity tests; the default is the measured-fastest path.
     """
     if use_pallas is None:
         use_pallas = False
