@@ -36,6 +36,17 @@ def _lm_batches(args, vocab_size) -> list:
     from hessian_llm_vision_tpu.data import random_token_batches
 
     made = False
+    if args.dataset.startswith("local:"):
+        from hessian_llm_vision_tpu.data import load_local_corpus
+
+        stacked = load_local_corpus(
+            args.dataset[len("local:"):],
+            max_length=args.max_length,
+            batch_size=args.batch_size,
+            subsample=args.subsample,
+            seed=args.data_seed,
+        )
+        made = True
     if args.dataset == "wikipedia":
         try:
             from transformers import GPT2TokenizerFast
@@ -232,7 +243,11 @@ def build_workload(args) -> Workload:
         )
 
     if name in ("vgg16", "resnet50"):
+        import numpy as np
+
         from hessian_llm_vision_tpu.data import (
+            add_gaussian_noise,
+            augment_batch,
             get_class_subset,
             load_cifar10,
             random_image_batches,
@@ -252,6 +267,14 @@ def build_workload(args) -> Workload:
             x = xb.reshape(-1, 32, 32, 3)
             y = yb.reshape(-1)
             num_classes = 10
+        # reference transforms: --augment (RandomCrop+flip) / --noise
+        # (AddGaussianNoise), train_savespec.py:23-55
+        if getattr(args, "augment", False):
+            x = augment_batch(np.asarray(x), seed=args.data_seed)
+        if getattr(args, "noise", 0.0):
+            x = add_gaussian_noise(
+                np.asarray(x), std=args.noise, seed=args.data_seed
+            )
         if name == "vgg16":
             model = VGG16(num_classes=num_classes)
             params = model.init(key, jnp.zeros((1, 32, 32, 3)))["params"]
@@ -287,7 +310,9 @@ def add_common_args(parser) -> None:
                         help="gpt2 | gpt2-tiny | pythia-70m | pythia-160m | "
                         "pythia-1.4b | spiral | simplenet | vgg16 | resnet50")
     parser.add_argument("--dataset", default="random",
-                        help="wikipedia | random | markov (LM); builtin for vision")
+                        help="wikipedia | random | markov | local:<path> "
+                        "(byte-level corpus from on-disk text) for LMs; "
+                        "builtin for vision")
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--subsample", type=float, default=1.0)
     parser.add_argument("--max_length", type=int, default=64)
@@ -302,6 +327,12 @@ def add_common_args(parser) -> None:
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--bn_train_mode", action="store_true")
     parser.add_argument("--classes", type=int, nargs="*", default=None)
+    parser.add_argument("--augment", action="store_true",
+                        help="RandomCrop(4)+flip on vision data "
+                        "(train_savespec.py:23-42)")
+    parser.add_argument("--noise", type=float, default=0.0,
+                        help="AddGaussianNoise std on vision data "
+                        "(train_savespec.py:46-55)")
     parser.add_argument("--width", type=int, default=64)
     parser.add_argument("--depth", type=int, default=3)
     parser.add_argument("--num_points", type=int, default=600)

@@ -27,8 +27,11 @@ SPACE = {
         "delta": ("log", 1e-6, 1e-2),
         "lanczos_momentum": ("float", 0.0, 0.99),
     },
+    # reference optun_adam.py suggests (beta2, lr, delta=eps), same ranges
     "adam": {
-        "lr": ("log", 1e-5, 1e-2),
+        "beta2": ("log", 0.9, 0.9999),
+        "lr": ("log", 1e-6, 1e-3),
+        "delta": ("log", 1e-9, 1.0),
     },
 }
 

@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--t_checkpoint", default=None,
                    help="save T + full Lanczos state every iteration "
                    "(resumable, diego_pythia mode)")
+    p.add_argument("--state_every", type=int, default=1,
+                   help="write the FULL resume state (2xP f32) only every N "
+                   "iterations; the tiny T stays per-iteration")
     p.add_argument("--resume_spectrum", default=None,
                    help="resume an interrupted --t_checkpoint run from its "
                    ".state.npz file")
@@ -248,7 +251,12 @@ def main(argv=None):
             print(f"step {i + 1}  T checkpointed")
 
         def scb(i, st):
-            save_lanczos_state(t_path + ".state", **st)
+            # the full state is 2xP f32 (~1 GB at 124M); throttled, while
+            # T (KBs) still checkpoints every iteration above
+            if (i + 1) % max(args.state_every, 1) == 0 or (
+                i + 1
+            ) == args.lanczos_iters:
+                save_lanczos_state(t_path + ".state", **st)
 
         resume = None
         if args.resume_spectrum:
@@ -290,16 +298,23 @@ def _report_and_outputs(args, spec, wall, dim, num_batches):
           f"({args.lanczos_iters * num_batches / wall:.2f} HVPs/s)")
 
     if args.out_spectrum:
-        save_spectrum(
-            args.out_spectrum,
-            spec,
-            iters=args.lanczos_iters,
-            subsample=args.subsample,
-            vector_seed=args.vector_seed,
-        )
-        print(f"spectrum -> {args.out_spectrum}.npz"
-              if not args.out_spectrum.endswith(".npz")
-              else f"spectrum -> {args.out_spectrum}")
+        if args.out_spectrum.endswith((".ckpt", ".pt")):
+            # reference-ecosystem interchange: torch dict format
+            from hessian_llm_vision_tpu.io import save_reference_spectrum
+
+            save_reference_spectrum(args.out_spectrum, spec)
+            print(f"spectrum (torch format) -> {args.out_spectrum}")
+        else:
+            save_spectrum(
+                args.out_spectrum,
+                spec,
+                iters=args.lanczos_iters,
+                subsample=args.subsample,
+                vector_seed=args.vector_seed,
+            )
+            print(f"spectrum -> {args.out_spectrum}.npz"
+                  if not args.out_spectrum.endswith(".npz")
+                  else f"spectrum -> {args.out_spectrum}")
     if args.plot:
         _plot(spec, args.plot)
     if args.compare_to:

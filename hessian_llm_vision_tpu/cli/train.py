@@ -30,10 +30,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sgd | adam | raw | lanczos | lanczos-layer | gn | ngd")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--beta2", type=float, default=0.999,
+                   help="Adam beta2 (gpt2_adam.py:18, optun_adam.py)")
     p.add_argument("--wd", type=float, default=0.0)
     p.add_argument("--epochs", type=int, default=1)
     p.add_argument("--k", type=int, default=10)
-    p.add_argument("--delta", type=float, default=1e-4)
+    p.add_argument("--delta", type=float, default=None,
+                   help="LanczosSGD damping (default 1e-4) or, with "
+                   "--optimiser adam, the Adam eps (default 1e-8) — the "
+                   "reference's flag semantics (gpt2_adam.py:19,79)")
     p.add_argument("--accumulation_steps", type=int, default=1)
     p.add_argument("--lanczos_momentum", type=float, default=0.0)
     p.add_argument("--refresh_every", type=int, default=1)
@@ -83,6 +88,9 @@ def main(argv=None) -> float:
     )
     from hessian_llm_vision_tpu.train import make_train_step, to_microbatches, train
 
+    if args.delta is None:
+        args.delta = 1e-8 if args.optimiser == "adam" else 1e-4
+
     wl = build_workload(args)
     lr = (
         linear_decay(args.lr, args.linear_decay_steps)
@@ -117,7 +125,11 @@ def main(argv=None) -> float:
     if args.optimiser in ("sgd", "adam", "raw"):
         tx = {
             "sgd": lambda: sgd_momentum(lr, args.momentum, args.wd),
-            "adam": lambda: manual_adam(lr),
+            # reference Adam: betas=(momentum, beta2), eps=delta
+            # (gpt2_adam.py:79)
+            "adam": lambda: manual_adam(
+                lr, b1=args.momentum, b2=args.beta2, eps=args.delta
+            ),
             "raw": lambda: raw_sgd(lr),
         }[args.optimiser]()
         init_fn, step_fn = make_train_step(wl.loss_fn, tx, accum_steps=accum)
@@ -237,7 +249,8 @@ def main(argv=None) -> float:
     logger.close()
 
     if args.save_checkpoint:
-        save_checkpoint(args.save_checkpoint, state.params)
+        # gn/ngd steps carry the bare params pytree as their state
+        save_checkpoint(args.save_checkpoint, getattr(state, "params", state))
         print(f"checkpoint -> {args.save_checkpoint}")
     if args.save_state:
         save_checkpoint(args.save_state, state)

@@ -13,6 +13,7 @@ from hessian_llm_vision_tpu.data.vision import (
 )
 from hessian_llm_vision_tpu.data.text import (
     load_lm_dataset,
+    load_local_corpus,
     collate_tokens,
     stack_batches,
 )
@@ -28,6 +29,7 @@ __all__ = [
     "add_gaussian_noise",
     "augment_batch",
     "load_lm_dataset",
+    "load_local_corpus",
     "collate_tokens",
     "stack_batches",
 ]

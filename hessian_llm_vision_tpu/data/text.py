@@ -111,6 +111,90 @@ def load_lm_dataset(
     return stack_batches(collated, batch_size)
 
 
+_TEXT_EXTENSIONS = (
+    ".txt", ".md", ".rst", ".py", ".tex", ".cfg", ".toml", ".yaml", ".json",
+)
+
+
+def load_local_corpus(
+    path: str,
+    *,
+    max_length: int,
+    batch_size: int,
+    subsample: float | int = 1.0,
+    seed: int = 42,
+    extensions: tuple = _TEXT_EXTENSIONS,
+    max_bytes: int = 64 * 1024 * 1024,
+) -> Dict[str, np.ndarray]:
+    """Deterministic byte-level LM corpus from text already on disk.
+
+    The zero-egress stand-in for the reference's wikipedia pipeline
+    (/root/reference/gpt2.py:15-57): real-distribution text with learnable
+    structure, no network, no tokenizer download.  Files under ``path``
+    (a file or a directory, filtered by ``extensions``) are read in sorted
+    order, concatenated with double-newline separators, encoded as raw
+    bytes (vocab 256 — valid ids for any LM with vocab_size >= 256),
+    chunked into non-overlapping ``max_length`` sequences, seed-shuffled,
+    subsampled (fraction <= 1.0 or absolute count), and stacked into
+    ``(num_batches, batch_size, max_length)`` batches with all-ones
+    attention masks (no padding — every chunk is full).
+    """
+    import os
+
+    if os.path.isfile(path):
+        files = [path]
+    elif os.path.isdir(path):
+        files = []
+        for root, dirs, names in os.walk(path):
+            dirs.sort()
+            for n in sorted(names):
+                if n.endswith(extensions):
+                    files.append(os.path.join(root, n))
+    else:
+        raise FileNotFoundError(f"local corpus path {path!r} does not exist")
+    if not files:
+        raise FileNotFoundError(
+            f"no text files ({'/'.join(extensions)}) under {path!r}"
+        )
+
+    pieces, total = [], 0
+    for f in files:
+        try:
+            with open(f, "rb") as fh:
+                data = fh.read(max_bytes - total)
+        except OSError:
+            continue
+        pieces.append(data)
+        total += len(data) + 2
+        if total >= max_bytes:
+            break
+    blob = b"\n\n".join(pieces)
+    ids = np.frombuffer(blob, dtype=np.uint8)
+    n_chunks = len(ids) // max_length
+    if n_chunks < batch_size:
+        raise ValueError(
+            f"corpus too small: {len(ids)} bytes -> {n_chunks} chunks of "
+            f"{max_length} < batch_size {batch_size}"
+        )
+    chunks = ids[: n_chunks * max_length].reshape(n_chunks, max_length)
+    rng = np.random.RandomState(seed)
+    chunks = chunks[rng.permutation(n_chunks)]
+    take = (
+        int(n_chunks * subsample)
+        if isinstance(subsample, float) and subsample <= 1.0
+        else int(subsample)
+    )
+    take = max(batch_size, min(take, n_chunks))
+    chunks = chunks[:take].astype(np.int32)
+    return stack_batches(
+        {
+            "input_ids": chunks,
+            "attention_mask": np.ones_like(chunks),
+        },
+        batch_size,
+    )
+
+
 def batches_to_device(stacked: Dict[str, np.ndarray], sharding=None):
     """Host numpy -> device jnp (optionally sharded along the batch axis)."""
     import jax

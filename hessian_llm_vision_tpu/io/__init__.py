@@ -5,6 +5,7 @@ from hessian_llm_vision_tpu.io.checkpoints import (
 from hessian_llm_vision_tpu.io.spectra import (
     save_spectrum,
     load_spectrum,
+    save_reference_spectrum,
     load_reference_spectrum,
     save_tridiag,
     load_tridiag,
@@ -16,6 +17,7 @@ __all__ = [
     "load_checkpoint",
     "save_spectrum",
     "load_spectrum",
+    "save_reference_spectrum",
     "load_reference_spectrum",
     "save_tridiag",
     "load_tridiag",

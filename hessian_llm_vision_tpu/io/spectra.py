@@ -40,6 +40,23 @@ def load_spectrum(path: str) -> Spectrum:
         )
 
 
+def save_reference_spectrum(path: str, spectrum: Spectrum) -> None:
+    """Write a spectrum in the reference's torch-ckpt format
+    (``torch.save({'eigvals','gammas'[,'V']})``,
+    /root/reference/gpt2_savehessian.py:216-235) so the reference's
+    notebooks / load_model.py consume our artifacts directly."""
+    import torch
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    d = {
+        "eigvals": torch.from_numpy(np.asarray(spectrum.eigvals).copy()),
+        "gammas": torch.from_numpy(np.asarray(spectrum.gammas).copy()),
+    }
+    if spectrum.ritz_vectors is not None:
+        d["V"] = torch.from_numpy(np.asarray(spectrum.ritz_vectors).copy())
+    torch.save(d, path)
+
+
 def load_reference_spectrum(path: str) -> Spectrum:
     """Read a reference torch ``results.ckpt`` ({'eigvals','gammas'[,'V']})."""
     import torch

@@ -5,9 +5,16 @@ consumes ``loss_fn(params, batch) -> scalar mean loss``.  These builders are
 the only place model-specific calling conventions live.
 
 Reference parity notes:
-* LM loss is the HF convention — logits shifted left vs labels, mean over
-  non-pad target tokens (``model(input_ids, labels=input_ids)``,
-  /root/reference/gpt2.py:57, gpt2_hessian.py:131-132).
+* The reference computes LM loss as ``model(input_ids, labels=input_ids)``
+  (/root/reference/gpt2.py:57, gpt2_hessian.py:85-88) — HF shifts logits
+  left vs labels and takes the mean over ALL target positions, INCLUDING
+  pad tokens (no ``-100`` labels anywhere).  ``include_padding=True``
+  reproduces that exactly; it is the mode to use when matching reference
+  artifacts (losses, gradients, Hessian spectra).
+* The default (``include_padding=False``) masks pad targets via
+  ``attention_mask`` — a deliberate deviation that gives
+  padding-independent losses; it differs from the reference beyond a
+  constant rescale on padded data.
 * Vision CE is ``nn.CrossEntropyLoss`` (train_savespec.py).
 * BN-mode control: ``bn_train_mode=True`` evaluates BatchNorm with batch
   statistics inside the HVP (the reference's ``_bn_train_mode`` hack,
@@ -34,29 +41,42 @@ def causal_lm_loss(
     logits: jax.Array,
     input_ids: jax.Array,
     attention_mask: Optional[jax.Array] = None,
+    *,
+    include_padding: bool = False,
 ) -> jax.Array:
-    """Shifted next-token CE, mean over unmasked target positions."""
+    """Shifted next-token CE.
+
+    ``include_padding=False`` (default): mean over unmasked target
+    positions.  ``include_padding=True``: mean over ALL B*(T-1) target
+    positions — the reference / HF ``labels=input_ids`` convention
+    (/root/reference/gpt2_hessian.py:85-88); use it when reproducing
+    reference losses/spectra on padded data.
+    """
     logits = logits[:, :-1].astype(jnp.float32)
     targets = input_ids[:, 1:]
     logp = jax.nn.log_softmax(logits)
     token_ll = jnp.take_along_axis(logp, targets[..., None], axis=-1).squeeze(-1)
-    if attention_mask is not None:
+    if attention_mask is not None and not include_padding:
         mask = attention_mask[:, 1:].astype(jnp.float32)
         return -(token_ll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
     return -token_ll.mean()
 
 
-def lm_loss_fn(model) -> Callable[[Any, Any], jax.Array]:
+def lm_loss_fn(model, *, include_padding: bool = False) -> Callable[[Any, Any], jax.Array]:
     """LM loss closure for GPT2LMHead / NeoXLMHead.
 
     ``batch`` is a dict with ``input_ids`` (B, T) and optional
-    ``attention_mask``.
+    ``attention_mask``.  ``include_padding=True`` -> reference/HF
+    ``labels=input_ids`` convention (loss over pad positions too).
     """
 
     def loss(params, batch):
         logits = model.apply({"params": params}, batch["input_ids"])
         return causal_lm_loss(
-            logits, batch["input_ids"], batch.get("attention_mask")
+            logits,
+            batch["input_ids"],
+            batch.get("attention_mask"),
+            include_padding=include_padding,
         )
 
     return loss

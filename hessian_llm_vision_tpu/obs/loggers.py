@@ -24,8 +24,11 @@ class TensorBoardLogger:
         self._writer = SummaryWriter(logdir)
 
     def log(self, step: int, metrics: Dict[str, float]) -> None:
+        import numpy as np
+
         for k, v in metrics.items():
-            self._writer.add_scalar(k, v, step)
+            if np.asarray(v).size == 1:  # vector metrics go to pickle only
+                self._writer.add_scalar(k, v, step)
 
     def close(self) -> None:
         self._writer.close()

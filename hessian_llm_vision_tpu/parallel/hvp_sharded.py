@@ -35,9 +35,13 @@ from hessian_llm_vision_tpu.utils.flatten import Flattener
 
 
 def _batch_specs(batch: Any) -> Any:
-    """P('data', None, ...) spec per leaf of the batch pytree."""
+    """P('data', None, ...) spec per leaf of the batch pytree.
+
+    Scalar (0-d) leaves — e.g. a token count or loss weight — replicate.
+    """
     return jax.tree_util.tree_map(
-        lambda x: P(*(("data",) + (None,) * (x.ndim - 1))), batch
+        lambda x: P(*(("data",) + (None,) * (x.ndim - 1))) if x.ndim else P(),
+        batch,
     )
 
 

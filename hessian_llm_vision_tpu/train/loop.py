@@ -112,8 +112,19 @@ def train(
     last = None
 
     def emit(step, metrics, dt):
-        host = {k: float(np.asarray(v).reshape(-1)[0]) if np.asarray(v).size else 0.0
-                for k, v in metrics.items()}
+        host = {}
+        for k, v in metrics.items():
+            a = np.asarray(v)
+            if a.size == 0:
+                host[k] = 0.0
+            elif a.size == 1:
+                host[k] = float(a.reshape(-1)[0])
+            else:
+                # vector metrics (e.g. per-layer eigvals) pass through whole
+                # plus scalar min/max summaries for scalar-only loggers
+                host[k] = a
+                host[f"{k}_min"] = float(a.min())
+                host[f"{k}_max"] = float(a.max())
         host["ema_loss"] = ema_loss
         host["step_time"] = dt
         on_log(step, host)

@@ -67,6 +67,26 @@ class Flattener:
             )
         return jax.tree_util.tree_unflatten(self._treedef, leaves)
 
+    # Structural equality/hash: two Flatteners built from templates with the
+    # same treedef/shapes/dtypes are interchangeable pure functions, so
+    # caches keyed on a Flattener (e.g. krylov.driver._jitted_batch_hvp)
+    # hit across independently-constructed instances.
+    def _signature(self):
+        return (
+            self._treedef,
+            tuple(self._shapes),
+            tuple(str(d) for d in self._dtypes),
+            str(self.flat_dtype.__name__ if hasattr(self.flat_dtype, "__name__") else self.flat_dtype),
+        )
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, Flattener) and self._signature() == other._signature()
+        )
+
+    def __hash__(self) -> int:
+        return hash(self._signature())
+
     def __repr__(self) -> str:  # pragma: no cover
         return f"Flattener(P={self.size}, leaves={len(self._sizes)})"
 

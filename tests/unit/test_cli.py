@@ -210,3 +210,63 @@ def test_spectrum_cli_crash_resume(tmp_path):
         np.sort(np.asarray(full.eigvals)),
         rtol=1e-5,
     )
+
+
+def test_train_cli_adam_beta2_delta(tmp_path):
+    from hessian_llm_vision_tpu.cli import train
+
+    loss = train.main([
+        "--model", "spiral", "--optimiser", "adam", "--lr", "0.01",
+        "--beta2", "0.95", "--delta", "1e-6", "--epochs", "1",
+        "--batch_size", "60", "--log_every", "100",
+        "--out", str(tmp_path / "runs"),
+    ])
+    assert np.isfinite(loss)
+
+
+def test_train_cli_vision_augment_noise(tmp_path):
+    from hessian_llm_vision_tpu.cli import train
+
+    loss = train.main([
+        "--model", "vgg16", "--optimiser", "sgd", "--lr", "0.01",
+        "--epochs", "1", "--batch_size", "4", "--num_batches", "1",
+        "--augment", "--noise", "0.1", "--log_every", "100",
+        "--out", str(tmp_path / "runs"),
+    ])
+    assert np.isfinite(loss)
+
+
+def test_spectrum_cli_torch_format_roundtrip(tmp_path, capsys):
+    from hessian_llm_vision_tpu.cli import spectrum
+
+    out = str(tmp_path / "results.ckpt")
+    spectrum.main([
+        "--model", "spiral", "--lanczos_iters", "6", "--batch_size", "30",
+        "--num_points", "120", "--basis", "--out_spectrum", out,
+    ])
+    assert os.path.exists(out)
+    # our own reference-format reader consumes it (round-trip into the
+    # reference ecosystem, gpt2_savehessian.py:216-235)
+    from hessian_llm_vision_tpu.io import load_reference_spectrum
+
+    spec = load_reference_spectrum(out)
+    assert spec.eigvals.shape == (6,) and spec.ritz_vectors is not None
+    # and --compare_to matches itself exactly
+    spectrum.main([
+        "--model", "spiral", "--lanczos_iters", "6", "--batch_size", "30",
+        "--num_points", "120", "--compare_to", out,
+    ])
+    assert "relative error" in capsys.readouterr().out
+
+
+def test_spectrum_cli_state_every(tmp_path, capsys):
+    from hessian_llm_vision_tpu.cli import spectrum
+    import glob
+
+    t = str(tmp_path / "T")
+    spectrum.main([
+        "--model", "spiral", "--lanczos_iters", "7", "--batch_size", "30",
+        "--num_points", "120", "--t_checkpoint", t, "--state_every", "3",
+    ])
+    # T saved (tiny, every iter); full state exists (throttled writes)
+    assert os.path.exists(t + ".npz") and os.path.exists(t + ".state.npz")

@@ -78,3 +78,42 @@ def test_mnist_loads():
 def test_random_images():
     x, y = random_image_batches(2, 4, seed=0)
     assert x.shape == (2, 4, 32, 32, 3) and y.shape == (2, 4)
+
+
+def test_local_corpus(tmp_path):
+    from hessian_llm_vision_tpu.data import load_local_corpus
+
+    (tmp_path / "a.txt").write_text("hello world, " * 200)
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    (sub / "b.md").write_text("the quick brown fox. " * 200)
+    b = load_local_corpus(
+        str(tmp_path), max_length=32, batch_size=4, seed=0
+    )
+    assert b["input_ids"].ndim == 3 and b["input_ids"].shape[1:] == (4, 32)
+    assert b["input_ids"].dtype == np.int32
+    assert 0 <= b["input_ids"].min() and b["input_ids"].max() < 256
+    assert (b["attention_mask"] == 1).all()  # full chunks, no padding
+    # deterministic across calls
+    b2 = load_local_corpus(str(tmp_path), max_length=32, batch_size=4, seed=0)
+    np.testing.assert_array_equal(b["input_ids"], b2["input_ids"])
+    # different seed shuffles differently
+    b3 = load_local_corpus(str(tmp_path), max_length=32, batch_size=4, seed=1)
+    assert not np.array_equal(b["input_ids"], b3["input_ids"])
+
+
+def test_local_corpus_single_file_and_subsample(tmp_path):
+    from hessian_llm_vision_tpu.data import load_local_corpus
+
+    f = tmp_path / "c.py"
+    f.write_text("def f(x):\n    return x + 1\n" * 300)
+    b = load_local_corpus(str(f), max_length=16, batch_size=2, subsample=0.5)
+    full = load_local_corpus(str(f), max_length=16, batch_size=2)
+    assert b["input_ids"].shape[0] <= full["input_ids"].shape[0]
+
+
+def test_local_corpus_missing(tmp_path):
+    from hessian_llm_vision_tpu.data import load_local_corpus
+
+    with pytest.raises(FileNotFoundError):
+        load_local_corpus(str(tmp_path / "nope"), max_length=8, batch_size=2)

@@ -68,3 +68,17 @@ def test_subtree_mask_and_spans(key):
     labels, spans = trees.partition_labels(t)
     assert len(labels) == len(spans) == len(jax.tree_util.tree_leaves(t))
     assert sum(s for _, s in spans) == tree_size(t)
+
+
+def test_flattener_structural_equality(key):
+    t = _tree(key)
+    a, b = Flattener(t), Flattener(jax.tree_util.tree_map(lambda x: x + 1, t))
+    assert a == b and hash(a) == hash(b)  # same structure, different values
+    # different structure/dtype -> different
+    c = Flattener({"only": jnp.zeros((3,))})
+    assert a != c
+    d = Flattener(t, flat_dtype=jnp.float64)
+    assert a != d
+    # usable as a cache key across fresh instances
+    cache = {a: 1}
+    assert cache[b] == 1

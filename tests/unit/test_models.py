@@ -175,3 +175,28 @@ def test_hvp_through_gpt2_tiny(key):
     np.testing.assert_allclose(
         float(jnp.vdot(u, hv)), float(jnp.vdot(op(u), v)), rtol=2e-2, atol=1e-4
     )
+
+
+def test_causal_lm_loss_include_padding():
+    """include_padding=True reproduces the reference/HF labels=input_ids
+    convention (mean over ALL shifted positions, pads included)."""
+    import jax
+    import jax.numpy as jnp
+    from hessian_llm_vision_tpu.models.losses import causal_lm_loss
+
+    key = jax.random.PRNGKey(0)
+    B, T, V = 2, 6, 11
+    logits = jax.random.normal(key, (B, T, V))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, T), 0, V)
+    mask = jnp.asarray([[1, 1, 1, 1, 0, 0], [1, 1, 1, 1, 1, 1]])
+
+    unmasked = causal_lm_loss(logits, ids, mask, include_padding=True)
+    no_mask = causal_lm_loss(logits, ids, None)
+    np.testing.assert_allclose(float(unmasked), float(no_mask), rtol=1e-6)
+
+    masked = causal_lm_loss(logits, ids, mask)
+    assert abs(float(masked) - float(unmasked)) > 1e-6  # they genuinely differ
+    # manual all-positions mean
+    logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32))
+    tll = jnp.take_along_axis(logp, ids[:, 1:][..., None], -1).squeeze(-1)
+    np.testing.assert_allclose(float(unmasked), float(-tll.mean()), rtol=1e-6)
