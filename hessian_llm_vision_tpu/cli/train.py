@@ -27,7 +27,11 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     add_common_args(p)
     p.add_argument("--optimiser", default="sgd",
-                   help="sgd | adam | raw | lanczos | lanczos-layer | gn | ngd")
+                   help="sgd | adam | raw | lanczos | lanczos-host | "
+                   "lanczos-layer | gn | ngd")
+    p.add_argument("--basis_bf16", action="store_true",
+                   help="lanczos-host: store the frozen Ritz basis bf16 "
+                   "(half HBM + bf16-streaming adjust; required at 124M+)")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--beta2", type=float, default=0.999,
@@ -153,6 +157,36 @@ def main(argv=None) -> float:
         init_fn, step_fn = maker(
             wl.loss_fn, wl.params, cfg, batch_size=wl.batch_size
         )
+    elif args.optimiser == "lanczos-host":
+        # host-orchestrated LanczosSGD: bounded compile units (one grad
+        # program + one HVP program + one adjust program), the only
+        # LanczosSGD shape that compiles at GPT-2-124M scale here
+        import jax.numpy as jnp
+
+        from hessian_llm_vision_tpu.optim.lanczos_sgd_host import (
+            HostLanczosSGDTrainer,
+        )
+
+        if accum > 1:
+            raise SystemExit(
+                "--optimiser lanczos-host does not support "
+                "--accumulation_steps > 1 yet"
+            )
+        cfg = LanczosSGDConfig(
+            k=args.k,
+            delta=args.delta,
+            lr=lr,
+            momentum=args.momentum,
+            weight_decay=args.wd,
+            refresh_every=args.refresh_every,
+            lanczos_momentum=args.lanczos_momentum,
+            normalization="sum",
+        )
+        trainer = HostLanczosSGDTrainer(
+            wl.loss_fn, wl.params, cfg, batch_size=wl.batch_size,
+            basis_dtype=jnp.bfloat16 if args.basis_bf16 else jnp.float32,
+        )
+        init_fn, step_fn = trainer.init, trainer.step
     elif args.optimiser in ("gn", "ngd"):
         from hessian_llm_vision_tpu.optim import (
             make_gauss_newton_step,
@@ -206,7 +240,17 @@ def main(argv=None) -> float:
     if args.resume_state:
         from hessian_llm_vision_tpu.io import load_checkpoint
 
-        state0 = load_checkpoint(args.resume_state, template=state0)
+        if args.optimiser == "lanczos-host":
+            core = load_checkpoint(args.resume_state, template={
+                "params": state0.params,
+                "momentum": state0.momentum,
+                "step": state0.step,
+            })
+            state0.params = core["params"]
+            state0.momentum = core["momentum"]
+            state0.step = int(core["step"])
+        else:
+            state0 = load_checkpoint(args.resume_state, template=state0)
         print(f"resumed train state <- {args.resume_state}")
 
     on_state = None
@@ -236,6 +280,7 @@ def main(argv=None) -> float:
                 res.alphas, res.betas, step=step,
             )
 
+    host_driven = args.optimiser == "lanczos-host"
     state = train(
         step_fn,
         state0,
@@ -245,6 +290,7 @@ def main(argv=None) -> float:
         on_log=on_log,
         on_state=on_state,
         on_state_every=args.snapshot_every,
+        jit=not host_driven,
     )
     logger.close()
 
@@ -253,7 +299,15 @@ def main(argv=None) -> float:
         save_checkpoint(args.save_checkpoint, getattr(state, "params", state))
         print(f"checkpoint -> {args.save_checkpoint}")
     if args.save_state:
-        save_checkpoint(args.save_state, state)
+        if host_driven:
+            # host state is a mutable dataclass; persist the resumable core
+            save_checkpoint(args.save_state, {
+                "params": state.params,
+                "momentum": state.momentum,
+                "step": state.step,
+            })
+        else:
+            save_checkpoint(args.save_state, state)
         print(f"train state -> {args.save_state}")
 
     if args.post_spectrum_iters > 0:

@@ -92,6 +92,7 @@ def train(
     on_state_every: int = 0,
     ema_decay: float = 0.99,
     donate: bool = True,
+    jit: bool = True,
 ) -> Any:
     """Drive any ``step_fn(state, batch) -> (state, metrics)``.
 
@@ -104,8 +105,16 @@ def train(
     (0 = never) with the LIVE state — the hook for interleaved diagnostics
     like spectrum snapshots (the train_lanczos.py purpose).  Note: with
     ``donate=True`` the hook must not retain ``state`` beyond the call.
+
+    ``jit=False``: drive a HOST-ORCHESTRATED step (e.g.
+    ``optim.lanczos_sgd_host``) that jits its own sub-programs — wrapping
+    it again would trace host control flow.
     """
-    jit_step = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    jit_step = (
+        jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+        if jit
+        else step_fn
+    )
     ema_loss = None
     global_step = 0
     last_logged = -1

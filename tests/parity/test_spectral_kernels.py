@@ -78,3 +78,33 @@ def test_projection_removes_components(key):
     # idempotent
     out2 = project_out(out, V, use_pallas=False)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(out), atol=1e-5)
+
+
+def test_rank_k_bf16_streaming_parity(key):
+    """bf16-streaming path (basis stays bf16, f32 MXU accumulation) matches
+    the f32 reference within the bf16-row bound (<= 2e-3 relative)."""
+    from hessian_llm_vision_tpu.ops.spectral import (
+        rank_k_apply,
+        rank_k_apply_bf16,
+        rank_k_apply_reference,
+    )
+
+    k, p = 10, 5000
+    kv, kg = jax.random.split(key)
+    V = jax.random.normal(kv, (k, p), dtype=jnp.float32) / np.sqrt(p)
+    g = jax.random.normal(kg, (p,), dtype=jnp.float32)
+    c = jnp.linspace(0.5, 3.0, k)
+
+    ref = np.asarray(rank_k_apply_reference(g, V, c), np.float64)
+    out = np.asarray(rank_k_apply_bf16(g, V.astype(jnp.bfloat16), c))
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel <= 2e-3, rel
+
+    # the dispatcher routes bf16 bases to the streaming path
+    auto = np.asarray(rank_k_apply(g, V.astype(jnp.bfloat16), c))
+    np.testing.assert_array_equal(auto, out)
+    # and the f32 path is untouched
+    np.testing.assert_array_equal(
+        np.asarray(rank_k_apply(g, V, c)),
+        np.asarray(rank_k_apply_reference(g, V, c)),
+    )

@@ -270,3 +270,20 @@ def test_spectrum_cli_state_every(tmp_path, capsys):
     ])
     # T saved (tiny, every iter); full state exists (throttled writes)
     assert os.path.exists(t + ".npz") and os.path.exists(t + ".state.npz")
+
+
+def test_train_cli_lanczos_host(tmp_path):
+    """Host-orchestrated LanczosSGD end-to-end through the CLI, bf16 basis,
+    save + resume of the host state."""
+    from hessian_llm_vision_tpu.cli import train
+
+    state = str(tmp_path / "hoststate")
+    common = [
+        "--model", "spiral", "--optimiser", "lanczos-host", "--k", "4",
+        "--refresh_every", "2", "--lr", "0.05", "--batch_size", "60",
+        "--basis_bf16", "--log_every", "100", "--out", str(tmp_path / "runs"),
+    ]
+    loss1 = train.main(common + ["--epochs", "2", "--save_state", state])
+    assert np.isfinite(loss1)
+    loss2 = train.main(common + ["--epochs", "2", "--resume_state", state])
+    assert np.isfinite(loss2) and loss2 <= loss1 + 0.05
