@@ -180,6 +180,38 @@ def build_workload(args) -> Workload:
             out_loss_fn=lm_out_loss,
         )
 
+    if name.startswith("llama"):
+        from hessian_llm_vision_tpu.models import LLAMA_CONFIGS, LlamaLMHead
+
+        cfg = LLAMA_CONFIGS[name]
+        if args.bf16:
+            cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
+        model = LlamaLMHead(cfg)
+        params = model.init_params(key, seq_len=min(16, args.max_length))
+        if args.checkpoint:
+            from hessian_llm_vision_tpu.io import load_checkpoint
+
+            params = load_checkpoint(args.checkpoint, template=params)
+
+        def lm_model_fn(p, b, _model=model):
+            return _model.apply({"params": p}, b["input_ids"])
+
+        def lm_out_loss(logits, b):
+            return losses.causal_lm_loss(
+                logits, b["input_ids"], b.get("attention_mask")
+            )
+
+        return Workload(
+            name,
+            model,
+            params,
+            losses.lm_loss_fn(model),
+            _lm_batches(args, cfg.vocab_size),
+            args.batch_size,
+            model_fn=lm_model_fn,
+            out_loss_fn=lm_out_loss,
+        )
+
     if name in ("mlp", "spiral"):
         from hessian_llm_vision_tpu.data import make_spirals
 
@@ -308,7 +340,8 @@ def add_common_args(parser) -> None:
     (accum.py:15-28, gpt2_savehessian.py:12-19, train_savespec.py:23-42)."""
     parser.add_argument("--model", default="gpt2-tiny",
                         help="gpt2 | gpt2-tiny | pythia-70m | pythia-160m | "
-                        "pythia-1.4b | spiral | simplenet | vgg16 | resnet50")
+                        "pythia-1.4b | llama-tiny | llama-micro | llama-7b | "
+                        "spiral | simplenet | vgg16 | resnet50")
     parser.add_argument("--dataset", default="random",
                         help="wikipedia | random | markov | local:<path> "
                         "(byte-level corpus from on-disk text) for LMs; "
@@ -345,3 +378,17 @@ def add_common_args(parser) -> None:
 def maybe_force_cpu(args) -> None:
     if getattr(args, "cpu", False):
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # persistent compile cache: remote TPU compiles of 124M-scale
+        # programs take minutes cold, seconds cached (bench.py pattern)
+        import os
+
+        cache = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache"
+        )
+        try:
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass  # cache is an optimization, never a failure

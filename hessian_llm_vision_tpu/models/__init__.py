@@ -1,6 +1,7 @@
 from hessian_llm_vision_tpu.models.mlp import SpiralMLP, SimpleNet
 from hessian_llm_vision_tpu.models.gpt2 import GPT2Config, GPT2LMHead
 from hessian_llm_vision_tpu.models.pythia import NeoXConfig, NeoXLMHead, PYTHIA_CONFIGS
+from hessian_llm_vision_tpu.models.llama import LlamaConfig, LlamaLMHead, LLAMA_CONFIGS
 from hessian_llm_vision_tpu.models.vgg import VGG16
 from hessian_llm_vision_tpu.models.resnet import ResNet50
 from hessian_llm_vision_tpu.models import losses
@@ -13,6 +14,9 @@ __all__ = [
     "NeoXConfig",
     "NeoXLMHead",
     "PYTHIA_CONFIGS",
+    "LlamaConfig",
+    "LlamaLMHead",
+    "LLAMA_CONFIGS",
     "VGG16",
     "ResNet50",
     "losses",

@@ -154,6 +154,79 @@ def _neox_qkv(sd, p, config):
     return {"kernel": w.T, "bias": b}  # (in, 3C)
 
 
+def llama_from_torch_state_dict(sd: Dict[str, Any], config) -> Dict[str, Any]:
+    """HF LlamaForCausalLM state_dict -> LlamaLMHead params pytree.
+
+    The reference evaluates LLaMA-family checkpoints via
+    ``AutoModelForCausalLM`` (/root/reference/loss-llama.ipynb cell 0);
+    this is the migration path for those weights.  All linears are
+    bias-free nn.Linear (out, in) -> transpose; RMSNorms carry a single
+    scale vector.
+    """
+    sd = {k.removeprefix("module."): v for k, v in sd.items()}
+    if any(k.startswith("model.") for k in sd):
+        sd = {
+            (k.removeprefix("model.") if k != "lm_head.weight" else k): v
+            for k, v in sd.items()
+        }
+
+    def g(key):
+        return _np(sd[key]).astype(np.float32)
+
+    def linear(prefix):
+        return {"kernel": g(prefix + ".weight").T}
+
+    params: Dict[str, Any] = {
+        "embed_tokens": g("embed_tokens.weight"),
+        "norm": {"scale": g("norm.weight")},
+        "lm_head": linear("lm_head"),
+    }
+    for i in range(config.num_layers):
+        p = f"layers.{i}."
+        params[f"layer_{i}"] = {
+            "input_layernorm": {"scale": g(p + "input_layernorm.weight")},
+            "post_attention_layernorm": {
+                "scale": g(p + "post_attention_layernorm.weight")
+            },
+            "self_attn": {
+                "q_proj": linear(p + "self_attn.q_proj"),
+                "k_proj": linear(p + "self_attn.k_proj"),
+                "v_proj": linear(p + "self_attn.v_proj"),
+                "o_proj": linear(p + "self_attn.o_proj"),
+            },
+            "mlp": {
+                "gate_proj": linear(p + "mlp.gate_proj"),
+                "up_proj": linear(p + "mlp.up_proj"),
+                "down_proj": linear(p + "mlp.down_proj"),
+            },
+        }
+    return params
+
+
+def llama_from_pretrained(name_or_path: str, config=None):
+    """Load an HF LLaMA-family checkpoint (local dir; zero-egress) into
+    (LlamaConfig, params)."""
+    from transformers import LlamaForCausalLM
+
+    from hessian_llm_vision_tpu.models.llama import LlamaConfig
+
+    hf = LlamaForCausalLM.from_pretrained(name_or_path)
+    c = hf.config
+    config = config or LlamaConfig(
+        vocab_size=c.vocab_size,
+        max_position_embeddings=c.max_position_embeddings,
+        hidden_size=c.hidden_size,
+        intermediate_size=c.intermediate_size,
+        num_layers=c.num_hidden_layers,
+        num_heads=c.num_attention_heads,
+        num_kv_heads=c.num_key_value_heads,
+        rope_theta=getattr(c, "rope_theta", 10000.0),
+        rms_eps=c.rms_norm_eps,
+    )
+    params = llama_from_torch_state_dict(hf.state_dict(), config)
+    return config, params
+
+
 def neox_from_pretrained(name_or_path: str, config=None):
     from transformers import GPTNeoXForCausalLM
 

@@ -21,7 +21,14 @@ import jax.numpy as jnp
 
 from hessian_llm_vision_tpu.utils.trees import _key_str
 
-DEFAULT_TARGETS = r".*(c_attn|c_fc|query_key_value|dense_h_to_4h|attn/c_proj|attention/dense|mlp/c_proj|dense_4h_to_h)/kernel$"
+DEFAULT_TARGETS = (
+    r".*(c_attn|c_fc|query_key_value|dense_h_to_4h|attn/c_proj"
+    r"|attention/dense|mlp/c_proj|dense_4h_to_h"
+    # LLaMA-family projections (the PEFT target_modules of the
+    # reference's loss-llama workload)
+    r"|q_proj|k_proj|v_proj|o_proj|gate_proj|up_proj|down_proj"
+    r")/kernel$"
+)
 
 
 def _leaf_paths(params: Any):

@@ -287,3 +287,13 @@ def test_train_cli_lanczos_host(tmp_path):
     assert np.isfinite(loss1)
     loss2 = train.main(common + ["--epochs", "2", "--resume_state", state])
     assert np.isfinite(loss2) and loss2 <= loss1 + 0.05
+
+
+def test_spectrum_cli_llama(capsys):
+    from hessian_llm_vision_tpu.cli import spectrum
+
+    spectrum.main([
+        "--model", "llama-tiny", "--lanczos_iters", "4", "--batch_size", "2",
+        "--num_batches", "1", "--max_length", "16",
+    ])
+    assert "lambda_max" in capsys.readouterr().out
