@@ -148,6 +148,66 @@ def main() -> None:
     jax.block_until_ready(ev)
     wall = time.perf_counter() - t0
 
+    # ---- MFU accounting (analytic FLOPs + XLA cost analysis) -------------
+    # Analytic per-HVP FLOPs: the fwd-over-rev HVP = jvp of (fwd+bwd); each
+    # of the 4 passes is ~2*P_matmul*tokens plus attention 4*B*H*T^2*Dh per
+    # pass (logits included via the vocab matmul term).
+    import sys as _sys
+
+    import numpy as np
+
+    n_tokens = batch_size * seq_len
+    p_matmul = sum(
+        int(np.prod(x.shape))
+        for x in jax.tree_util.tree_leaves(params)
+        if getattr(x, "ndim", 0) == 2
+    )
+    attn_flops_fwd = 4 * batch_size * cfg.n_head * seq_len**2 * (
+        cfg.n_embd // cfg.n_head
+    )
+    flops_fwd = 2 * p_matmul * n_tokens + attn_flops_fwd * cfg.n_layer
+    flops_hvp_analytic = 4 * flops_fwd  # fwd+bwd, doubled by the jvp
+    try:
+        ca = (
+            jax.jit(batch_hvp)
+            .lower(
+                jax.ShapeDtypeStruct((dim,), jnp.float32),
+                jax.tree_util.tree_map(
+                    lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params
+                ),
+                jax.ShapeDtypeStruct((batch_size, seq_len), jnp.int32),
+            )
+            .compile()
+            .cost_analysis()
+        )
+        flops_hvp_xla = float(ca.get("flops", 0.0)) if ca else 0.0
+    except Exception:
+        flops_hvp_xla = 0.0
+    hvps_per_sec = iters * num_batches / wall
+    achieved_tflops = flops_hvp_analytic * hvps_per_sec / 1e12
+    # v5e bf16 MXU peak 197 TFLOP/s; curvature runs matmuls at "high"
+    # (bf16x3) => 3 MXU passes per logical f32 matmul => effective peak ~66
+    PEAK_BF16, PASSES = 197.0, 3.0
+    mfu_pct = 100.0 * achieved_tflops / (PEAK_BF16 / PASSES)
+
+    # ---- top device ops from one profiler trace ---------------------------
+    top_ops = []
+    try:
+        import tempfile
+
+        from hessian_llm_vision_tpu.obs import profile_trace, summarize_trace
+
+        tracedir = tempfile.mkdtemp(prefix="bench_trace_")
+        v_trace = jnp.ones((dim,), jnp.float32) / np.sqrt(dim)
+        with profile_trace(tracedir):
+            jax.block_until_ready(dataset_hvp(v_trace))
+        top_ops = [
+            {"op": name, "ms": round(ms, 2), "pct": round(pct, 1)}
+            for name, ms, pct in summarize_trace(tracedir, top=3)
+        ]
+    except Exception as e:  # tracing is best-effort on this backend
+        print(f"[bench] trace capture skipped: {type(e).__name__}", file=_sys.stderr)
+
     # ---- secondary metric: spectrum-during-training overhead ------------
     # (BASELINE target: interleaved Lanczos-adjusted training costs <10% of
     # plain training throughput).  The TPU-scale LanczosSGD splits into a
@@ -215,6 +275,13 @@ def main() -> None:
             "adjust_step_overhead_frac": round(adjust_overhead, 4),
             "spectrum_snapshot_sec_k10": round(snapshot_sec, 3),
             "snapshot_overhead_at_refresh1000": round(snapshot_overhead_1000, 4),
+            "flops_per_hvp_analytic": flops_hvp_analytic,
+            "flops_per_hvp_xla": flops_hvp_xla,
+            "achieved_tflops": round(achieved_tflops, 2),
+            "mfu_pct_of_bf16x3_roofline": round(mfu_pct, 1),
+            "roofline_note": "v5e bf16 peak 197 TF/s; curvature matmuls run "
+            "bf16x3 ('high') => effective peak ~66 TF/s",
+            "top_ops": top_ops,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
             "baseline": "BASELINE.json north star: <300 s on v5e-8 (8 chips); "

@@ -339,6 +339,32 @@ def _layerwise_main(args, wl):
     from hessian_llm_vision_tpu.utils import trees
     from hessian_llm_vision_tpu.utils.flatten import tree_size
 
+    if args.host_loop:
+        # LLM scale: ONE masked-HVP program for every leaf (the fused
+        # per-leaf operators below compile one program per leaf, which
+        # exceeds the backend compile budget at 124M)
+        from hessian_llm_vision_tpu.krylov import layerwise_spectrum_host
+
+        results_t = layerwise_spectrum_host(
+            wl.loss_fn,
+            wl.params,
+            wl.batches[0],
+            args.lanczos_iters,
+            key=jax.random.PRNGKey(args.vector_seed),
+            normalization="mean",
+            batch_size=wl.batch_size,
+            progress=True,
+        )
+        results = {
+            label: ritz_decomposition(res) for label, res in results_t.items()
+        }
+        if args.out_spectrum:
+            for label, spec in results.items():
+                safe = label.replace("/", ".")
+                save_spectrum(f"{args.out_spectrum}_{safe}", spec)
+            print(f"{len(results)} block spectra -> {args.out_spectrum}_*.npz")
+        return results
+
     labels, spans = trees.partition_labels(wl.params)
     key = jax.random.PRNGKey(args.vector_seed)
     results = {}

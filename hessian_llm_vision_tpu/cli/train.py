@@ -28,10 +28,13 @@ def build_parser() -> argparse.ArgumentParser:
     add_common_args(p)
     p.add_argument("--optimiser", default="sgd",
                    help="sgd | adam | raw | lanczos | lanczos-host | "
-                   "lanczos-layer | gn | ngd")
+                   "lanczos-layer | lanczos-layer-host | gn | ngd")
     p.add_argument("--basis_bf16", action="store_true",
                    help="lanczos-host: store the frozen Ritz basis bf16 "
                    "(half HBM + bf16-streaming adjust; required at 124M+)")
+    p.add_argument("--refresh_batch_size", type=int, default=None,
+                   help="lanczos-host: run refresh HVPs on only the first N "
+                   "sequences (frees HBM headroom at 124M+)")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--beta2", type=float, default=0.999,
@@ -157,19 +160,20 @@ def main(argv=None) -> float:
         init_fn, step_fn = maker(
             wl.loss_fn, wl.params, cfg, batch_size=wl.batch_size
         )
-    elif args.optimiser == "lanczos-host":
+    elif args.optimiser in ("lanczos-host", "lanczos-layer-host"):
         # host-orchestrated LanczosSGD: bounded compile units (one grad
         # program + one HVP program + one adjust program), the only
-        # LanczosSGD shape that compiles at GPT-2-124M scale here
+        # LanczosSGD shapes that compile at GPT-2-124M scale here
         import jax.numpy as jnp
 
         from hessian_llm_vision_tpu.optim.lanczos_sgd_host import (
             HostLanczosSGDTrainer,
+            HostLayerwiseLanczosSGDTrainer,
         )
 
         if accum > 1:
             raise SystemExit(
-                "--optimiser lanczos-host does not support "
+                f"--optimiser {args.optimiser} does not support "
                 "--accumulation_steps > 1 yet"
             )
         cfg = LanczosSGDConfig(
@@ -182,10 +186,17 @@ def main(argv=None) -> float:
             lanczos_momentum=args.lanczos_momentum,
             normalization="sum",
         )
-        trainer = HostLanczosSGDTrainer(
-            wl.loss_fn, wl.params, cfg, batch_size=wl.batch_size,
-            basis_dtype=jnp.bfloat16 if args.basis_bf16 else jnp.float32,
-        )
+        if args.optimiser == "lanczos-host":
+            trainer = HostLanczosSGDTrainer(
+                wl.loss_fn, wl.params, cfg, batch_size=wl.batch_size,
+                basis_dtype=jnp.bfloat16 if args.basis_bf16 else jnp.float32,
+                refresh_batch_size=args.refresh_batch_size,
+            )
+        else:
+            trainer = HostLayerwiseLanczosSGDTrainer(
+                wl.loss_fn, wl.params, cfg, batch_size=wl.batch_size,
+                basis_dtype=jnp.bfloat16 if args.basis_bf16 else jnp.float32,
+            )
         init_fn, step_fn = trainer.init, trainer.step
     elif args.optimiser in ("gn", "ngd"):
         from hessian_llm_vision_tpu.optim import (
@@ -240,7 +251,7 @@ def main(argv=None) -> float:
     if args.resume_state:
         from hessian_llm_vision_tpu.io import load_checkpoint
 
-        if args.optimiser == "lanczos-host":
+        if args.optimiser in ("lanczos-host", "lanczos-layer-host"):
             core = load_checkpoint(args.resume_state, template={
                 "params": state0.params,
                 "momentum": state0.momentum,
@@ -280,7 +291,7 @@ def main(argv=None) -> float:
                 res.alphas, res.betas, step=step,
             )
 
-    host_driven = args.optimiser == "lanczos-host"
+    host_driven = args.optimiser in ("lanczos-host", "lanczos-layer-host")
     state = train(
         step_fn,
         state0,

@@ -4,7 +4,10 @@ from hessian_llm_vision_tpu.krylov.lanczos import (
     lanczos_checkpointed,
 )
 from hessian_llm_vision_tpu.krylov.host_lanczos import lanczos_host_basis
-from hessian_llm_vision_tpu.krylov.driver import dataset_spectrum_host
+from hessian_llm_vision_tpu.krylov.driver import (
+    dataset_spectrum_host,
+    layerwise_spectrum_host,
+)
 from hessian_llm_vision_tpu.krylov.compare import (
     ritz_relative_error,
     density_overlap,
@@ -27,6 +30,7 @@ __all__ = [
     "lanczos_checkpointed",
     "lanczos_host_basis",
     "dataset_spectrum_host",
+    "layerwise_spectrum_host",
     "ritz_decomposition",
     "ritz_vectors",
     "trace_estimate",

@@ -45,6 +45,108 @@ def _jitted_batch_hvp(loss_fn, per_batch_norm, precision, fl):
     return batch_hvp
 
 
+@functools.lru_cache(maxsize=32)
+def _jitted_masked_batch_hvp(loss_fn, per_batch_norm, precision, fl):
+    """ONE jitted block-restricted HVP for ALL parameter leaves.
+
+    The block-diagonal action ``H_l v = m_l ⊙ H (m_l ⊙ v)`` with the mask
+    built in-program from (start, size) scalars — so every leaf of a 124M
+    model shares a single compiled program instead of one compile per leaf
+    (the remote-compiler-bounded rebuild of
+    /root/reference/lanczostrain_layer_hand.py:74-91's ``layer_idx``
+    restriction).
+    """
+    from hessian_llm_vision_tpu.curvature.hvp import hvp_fn
+
+    _hvp = hvp_fn(loss_fn, normalization=per_batch_norm, precision=precision)
+
+    @jax.jit
+    def masked_batch_hvp(v, start, size, params, batch):
+        idx = jnp.arange(fl.size, dtype=jnp.int32)
+        mask = ((idx >= start) & (idx < start + size)).astype(v.dtype)
+        out = fl.flatten(_hvp(params, batch, fl.unflatten(mask * v)))
+        return mask * out
+
+    return masked_batch_hvp
+
+
+def layerwise_spectrum_host(
+    loss_fn: Callable[[Any, Any], jax.Array],
+    params: Any,
+    batch: Any,
+    num_iters: int,
+    *,
+    key: jax.Array,
+    normalization: str = "mean",
+    batch_size: Optional[int] = None,
+    precision: Optional[str] = "high",
+    flattener: Optional[Flattener] = None,
+    min_size: int = 2,
+    progress: bool = False,
+):
+    """Per-leaf block-diagonal spectra at LLM scale, host-driven.
+
+    One masked-HVP program serves every leaf; the three-term recurrence is
+    T-only (no basis kept).  Returns ``{leaf_label: LanczosResult}`` — the
+    per-layer λmax/λmin table of
+    /root/reference/lanczostrain_layer_hand.py:183-185 /
+    gpt2_savehessian_layer.py at any model size this backend can HVP.
+    """
+    from hessian_llm_vision_tpu.utils import trees
+
+    fl = flattener or Flattener(params)
+    scale = 1.0
+    per_batch_norm = normalization
+    if normalization == "sum":
+        if batch_size is None:
+            raise ValueError('normalization="sum" requires batch_size')
+        per_batch_norm, scale = "mean", float(batch_size)
+    mhvp = _jitted_masked_batch_hvp(loss_fn, per_batch_norm, precision, fl)
+
+    labels, spans = trees.partition_labels(params)
+    results = {}
+    for li, (label, (off, size)) in enumerate(zip(labels, spans)):
+        if size < min_size:
+            continue
+        iters = min(num_iters, size)
+        start = jnp.int32(off)
+        sz = jnp.int32(size)
+        v0 = jax.random.normal(jax.random.fold_in(key, li), (fl.size,), jnp.float32)
+        idx = np.arange(fl.size)
+        host_mask = jnp.asarray((idx >= off) & (idx < off + size), jnp.float32)
+        q_cur = v0 * host_mask
+        q_cur = q_cur / jnp.maximum(jnp.linalg.norm(q_cur), 1e-30)
+        q_prev = jnp.zeros_like(q_cur)
+        beta_prev = jnp.float32(0.0)
+        alphas, betas = [], []
+        for _ in range(iters):
+            w = mhvp(q_cur, start, sz, params, batch)
+            if scale != 1.0:
+                w = w * scale
+            alpha, beta, q_next = host_recurrence_step(w, q_cur, q_prev, beta_prev)
+            q_prev, q_cur, beta_prev = q_cur, q_next, beta
+            alphas.append(alpha)
+            betas.append(beta)
+        results[label] = LanczosResult(
+            alphas=jnp.stack(alphas).astype(jnp.float32),
+            betas=(
+                jnp.stack(betas[:-1]).astype(jnp.float32)
+                if len(betas) > 1
+                else jnp.zeros((0,), jnp.float32)
+            ),
+            basis=None,
+        )
+        if progress:
+            from hessian_llm_vision_tpu.krylov.slq import ritz_decomposition
+
+            ev = np.sort(np.asarray(ritz_decomposition(results[label]).eigvals))
+            print(
+                f"{label:60s} P={size:9d} max={ev[-1]:10.4f} min={ev[0]:10.4f}",
+                flush=True,
+            )
+    return results
+
+
 def dataset_spectrum_host(
     loss_fn: Callable[[Any, Any], jax.Array],
     params: Any,

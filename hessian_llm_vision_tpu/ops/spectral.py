@@ -88,11 +88,32 @@ def rank_k_apply_bf16(
     return g32 + adj
 
 
+def adjust_coeffs(eigvals: jax.Array, delta: float) -> jax.Array:
+    """``c = 1/λ − 1/(λ+δ)`` with near-zero Ritz directions treated as
+    identity (c=0).
+
+    The reference's formula (gpt2_hessian.py:199-203) divides by λ
+    unguarded; an exactly/nearly zero Ritz value (e.g. the softmax-bias
+    shift-invariance null mode) makes the coefficient infinite and the
+    update numerically undefined.  Deliberate robustness deviation:
+    |λ| < 1e-7·max|λ| ⇒ no curvature information ⇒ leave the gradient
+    untouched along that direction.
+
+    Floor = 1e-6·max|λ|: an f32 Lanczos estimate of a true zero mode lands
+    anywhere up to ~1e-6·λmax depending on reorthogonalization (measured:
+    2e-7 with CGS2, 7e-6 without on a rank-deficient softmax-bias block);
+    curvature below that is round-off, not signal.
+    """
+    ev = eigvals.astype(jnp.float32)
+    c = 1.0 / ev - 1.0 / (ev + delta)
+    floor = 1e-6 * jnp.maximum(jnp.max(jnp.abs(ev)), 1e-30)
+    return jnp.where(jnp.abs(ev) < floor, 0.0, c)
+
+
 def spectral_adjust_reference(
     g: jax.Array, basis: jax.Array, eigvals: jax.Array, delta: float
 ) -> jax.Array:
-    c = 1.0 / eigvals - 1.0 / (eigvals + delta)
-    return rank_k_apply_reference(g, basis, c)
+    return rank_k_apply_reference(g, basis, adjust_coeffs(eigvals, delta))
 
 
 def project_out_reference(g: jax.Array, basis: jax.Array) -> jax.Array:
@@ -230,10 +251,10 @@ def spectral_adjust(
     """Lanczos gradient adjustment ``g + Σᵢ (1/λᵢ − 1/(λᵢ+δ))(vᵢ·g)vᵢ``.
 
     Semantics of /root/reference/gpt2_hessian.py:199-203 (== the CUDA kernel
-    vector_adjust.cu, minus its O(k·P²) redundancy).
+    vector_adjust.cu, minus its O(k·P²) redundancy), with near-zero Ritz
+    directions left unadjusted (see :func:`adjust_coeffs`).
     """
-    c = 1.0 / eigvals - 1.0 / (eigvals + delta)
-    return rank_k_apply(g, basis, c, **kw)
+    return rank_k_apply(g, basis, adjust_coeffs(eigvals, delta), **kw)
 
 
 def project_out(g: jax.Array, basis: jax.Array, **kw) -> jax.Array:

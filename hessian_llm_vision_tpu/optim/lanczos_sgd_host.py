@@ -23,6 +23,7 @@ remote compiles).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, Optional
 
 import jax
@@ -63,13 +64,24 @@ class HostLanczosSGDTrainer:
         *,
         batch_size: Optional[int] = None,
         basis_dtype: jnp.dtype = jnp.float32,
+        refresh_batch_size: Optional[int] = None,
     ):
         """``basis_dtype=jnp.bfloat16`` halves the stored (k, P) basis —
         needed at GPT-2-124M scale where k=10 f32 rows (5 GB) plus the HVP
         working set exceed one chip's HBM.  The Lanczos RECURRENCE stays
-        f32; only the stored rows/Ritz basis are cast."""
+        f32; only the stored rows/Ritz basis are cast.
+
+        ``refresh_batch_size``: run the refresh's Lanczos HVPs on only the
+        first N sequences of the batch.  The 124M bs8/seq512 HVP working
+        set is ~12 GB (measured by OOM bisection); during an EMA refresh
+        the old basis + recurrence buffer leave too little headroom —
+        halving the HVP batch halves the activation working set while the
+        spectrum stays a same-expectation stochastic estimate (the
+        reference's accumulation variant makes the same sub-batch
+        approximation, accum.py:144-151)."""
         self.cfg = config
         self.basis_dtype = basis_dtype
+        self.refresh_batch_size = refresh_batch_size
         self.fl = Flattener(params_template)
         self.loss_fn = loss_fn
         _hvp = hvp_fn(
@@ -110,10 +122,11 @@ class HostLanczosSGDTrainer:
 
         basis_dtype = self.basis_dtype
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(1,))
         def rotate(evecs, basis):
             # Ritz rotation S^T Q: inputs stay in basis_dtype (no 5 GB f32
-            # materialization at 124M scale), f32 MXU accumulation
+            # materialization at 124M scale), f32 MXU accumulation; the
+            # recurrence basis buffer is donated (dead after rotation)
             return jnp.einsum(
                 "ij,jp->ip",
                 evecs.astype(basis.dtype),
@@ -121,11 +134,31 @@ class HostLanczosSGDTrainer:
                 preferred_element_type=jnp.float32,
             ).astype(basis_dtype)
 
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def set_row(buf, row, i):
+            # in-place row write into the single (k, P) recurrence buffer —
+            # a python list of k rows + jnp.stack doubles peak HBM at 124M
+            return jax.lax.dynamic_update_slice(
+                buf, row.astype(buf.dtype)[None], (i, 0)
+            )
+
+        m = config.lanczos_momentum
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def ema_blend(old, new):
+            # elementwise, fused — no f32 (k, P) materialization; both
+            # inputs are dead after the blend, so both donate
+            return (
+                m * old.astype(jnp.float32) + (1.0 - m) * new.astype(jnp.float32)
+            ).astype(basis_dtype)
+
         self._grad = grad_program
         self._hvp = hvp_program
         self._recurrence = host_recurrence_step
         self._adjust_update = adjust_update
         self._rotate = rotate
+        self._set_row = set_row
+        self._ema_blend = ema_blend
 
     def init(self, params) -> HostLanczosSGDState:
         # basis starts as None (step 0 always refreshes) — at 124M scale a
@@ -148,21 +181,22 @@ class HostLanczosSGDTrainer:
         fused step to 1e-3).  Rows stored in ``basis_dtype``.
         """
         k = self.cfg.k
-        rows = []
+        # ONE preallocated (k, P) buffer, rows written in place (donated) —
+        # a rows list + stack holds 2x the basis at the peak, which at
+        # 124M + an EMA-retained old basis OOMs a 16 GB chip
+        basis = jnp.zeros((k, g_flat.shape[0]), self.basis_dtype)
         q_cur = g_flat / jnp.maximum(jnp.linalg.norm(g_flat), 1e-30)
         q_prev = jnp.zeros_like(q_cur)
         beta_prev = jnp.float32(0.0)
         alphas, betas = [], []
         for i in range(k):
-            rows.append(q_cur.astype(self.basis_dtype))
+            basis = self._set_row(basis, q_cur, jnp.asarray(i))
             w = self._hvp(q_cur, params, batch)
             alpha, beta, q_next = self._recurrence(w, q_cur, q_prev, beta_prev)
             q_prev, q_cur, beta_prev = q_cur, q_next, beta
             alphas.append(float(alpha))
             betas.append(float(beta))
         del q_prev, q_cur, w
-        basis = jnp.stack(rows)  # (k, P) in basis_dtype
-        del rows
         a = np.asarray(alphas)
         b = np.asarray(betas)[:-1]
         T = np.diag(a) + np.diag(b, 1) + np.diag(b, -1)
@@ -170,7 +204,7 @@ class HostLanczosSGDTrainer:
         V = self._rotate(jnp.asarray(evec.T, jnp.float32), basis)
         return jnp.asarray(ev, jnp.float32), V
 
-    def step(self, state: HostLanczosSGDState, batch):
+    def step(self, state: HostLanczosSGDState, batch):  # noqa: C901
         """Advance one step IN PLACE; returns (state, metrics)."""
         loss, g_flat = self._grad(state.params, batch)
         if state.step % self.cfg.refresh_every == 0 or state.basis is None:
@@ -178,12 +212,17 @@ class HostLanczosSGDTrainer:
             use_ema = m > 0 and state.step > 0 and state.basis is not None
             if not use_ema:
                 state.basis = None  # free stale basis before the refresh
-            new_ev, new_V = self.refresh_spectrum(state.params, batch, g_flat)
+            rbatch = batch
+            if self.refresh_batch_size is not None:
+                rbatch = jax.tree_util.tree_map(
+                    lambda x: x[: self.refresh_batch_size], batch
+                )
+            new_ev, new_V = self.refresh_spectrum(state.params, rbatch, g_flat)
             if use_ema:
                 state.eigvals = m * state.eigvals + (1 - m) * new_ev
-                state.basis = (m * state.basis + (1 - m) * new_V).astype(
-                    self.basis_dtype
-                )
+                old = state.basis
+                state.basis = None  # only the blend's donated refs remain
+                state.basis = self._ema_blend(old, new_V)
             else:
                 state.eigvals, state.basis = new_ev, new_V
         new_params, buf = self._adjust_update(
@@ -197,5 +236,199 @@ class HostLanczosSGDTrainer:
             "loss": loss,
             "eig_max": state.eigvals[-1],
             "eig_min": state.eigvals[0],
+        }
+        return state, metrics
+
+
+@dataclasses.dataclass
+class HostLayerwiseState:
+    """Mutable host state for the layer-wise trainer: per-active-leaf
+    eigvals + (k_i, size) Ritz bases (aligned with the trainer's active
+    leaf list)."""
+
+    params: Any
+    momentum: Any
+    step: int
+    eigvals: list  # per active leaf, (k_i,) f32 or None before 1st refresh
+    bases: list  # per active leaf, (k_i, size) in basis_dtype or None
+
+
+class HostLayerwiseLanczosSGDTrainer:
+    """Layer-wise (block-diagonal) LanczosSGD at LLM scale, host-driven.
+
+    The reference runs one k-iteration Lanczos per parameter tensor every
+    step (/root/reference/lanczostrain_layer_hand.py:117-208).  The fused
+    jitted variant (optim.lanczos_sgd.make_layerwise_lanczos_sgd_step)
+    inlines ~148 Lanczos runs into ONE XLA program — far beyond this
+    backend's compile ceiling at 124M.  Here instead:
+
+    * ONE masked-HVP program serves every leaf (mask from (start, size)
+      scalars — krylov.driver._jitted_masked_batch_hvp);
+    * the three-term recurrence runs on full-P vectors from host;
+    * per-leaf Ritz bases are stored SLICED ((k_i, size), basis_dtype),
+      totalling <= k x P elements across all leaves;
+    * the frozen step applies every per-leaf rank-k adjustment in ONE
+      jitted program whose slices are static (the partition is fixed).
+
+    ``refresh_every`` amortizes the (num_leaves x k) HVPs of a refresh —
+    the reference refreshed every step, which is also available.
+    """
+
+    def __init__(
+        self,
+        loss_fn: Callable[[Any, Any], jax.Array],
+        params_template: Any,
+        config: LanczosSGDConfig,
+        *,
+        batch_size: Optional[int] = None,
+        basis_dtype: jnp.dtype = jnp.float32,
+        min_leaf_size: int = 2,
+    ):
+        from hessian_llm_vision_tpu.krylov.driver import (
+            _jitted_masked_batch_hvp,
+        )
+        from hessian_llm_vision_tpu.utils import trees
+
+        self.cfg = config
+        self.basis_dtype = basis_dtype
+        self.fl = Flattener(params_template)
+        fl = self.fl
+        cfg = config
+
+        if cfg.normalization == "sum":
+            if batch_size is None:
+                raise ValueError('normalization="sum" requires batch_size')
+            self._hvp_scale = float(batch_size)
+        else:
+            self._hvp_scale = 1.0
+        self._mhvp = _jitted_masked_batch_hvp(loss_fn, "mean", "high", fl)
+
+        labels, spans = trees.partition_labels(params_template)
+        #: (label, offset, size, k_i) for every adjusted leaf
+        self.active = [
+            (label, off, size, min(cfg.k, size))
+            for label, (off, size) in zip(labels, spans)
+            if size >= min_leaf_size and min(cfg.k, size) >= 2
+        ]
+
+        @jax.jit
+        def grad_program(params, batch):
+            loss, grad = jax.value_and_grad(loss_fn)(params, batch)
+            return loss, fl.flatten(grad)
+
+        # shape-cached helpers (jit specializes per (k_i, size); the number
+        # of UNIQUE leaf shapes is small — ~10 for GPT-2 124M)
+        @functools.partial(jax.jit, static_argnames=("size",))
+        def slice_vec(v, start, size: int):
+            return jax.lax.dynamic_slice(v, (start,), (size,))
+
+        @jax.jit
+        def rotate_block(evecs, basis):
+            return jnp.einsum(
+                "ij,jp->ip", evecs.astype(basis.dtype), basis,
+                preferred_element_type=jnp.float32,
+            ).astype(basis.dtype)
+
+        active = self.active
+        basis_dt = basis_dtype
+
+        @jax.jit
+        def layer_adjust_update(params, momentum, g_flat, bases, eigvals, step):
+            from hessian_llm_vision_tpu.ops.spectral import spectral_adjust
+
+            adj = g_flat
+            for (label, off, size, k_i), V, ev in zip(active, bases, eigvals):
+                g_l = jax.lax.slice(g_flat, (off,), (off + size,))
+                a_l = spectral_adjust(g_l, V, ev, cfg.delta)
+                adj = jax.lax.dynamic_update_slice(adj, a_l, (off,))
+            adj_tree = fl.unflatten(adj)
+            if cfg.weight_decay:
+                adj_tree = jax.tree_util.tree_map(
+                    lambda g, p: g + cfg.weight_decay * p, adj_tree, params
+                )
+            buf = jax.tree_util.tree_map(
+                lambda b, g: cfg.momentum * b + g, momentum, adj_tree
+            )
+            lr_t = _lr_at(cfg.lr, step)
+            new_params = jax.tree_util.tree_map(
+                lambda p, b: p - lr_t * b, params, buf
+            )
+            return new_params, buf
+
+        self._grad = grad_program
+        self._slice = slice_vec
+        self._rotate_block = rotate_block
+        self._adjust_update = layer_adjust_update
+        self._recurrence = host_recurrence_step
+
+    def init(self, params) -> HostLayerwiseState:
+        n = len(self.active)
+        return HostLayerwiseState(
+            params=params,
+            momentum=jax.tree_util.tree_map(jnp.zeros_like, params),
+            step=0,
+            eigvals=[None] * n,
+            bases=[None] * n,
+        )
+
+    def refresh_leaf(self, params, batch, g_flat, off: int, size: int, k_i: int):
+        """Grad-seeded k_i-iteration Lanczos of one diagonal block."""
+        P = self.fl.size
+        idx_start, idx_size = jnp.int32(off), jnp.int32(size)
+        q_cur = self._slice(g_flat, jnp.int32(off), size)
+        # expand back to full-P via a zero-padded buffer for the masked HVP
+        norm = jnp.maximum(jnp.linalg.norm(q_cur), 1e-30)
+        full = jnp.zeros((P,), jnp.float32)
+        q_cur = jax.lax.dynamic_update_slice(full, q_cur / norm, (jnp.int32(off),))
+        q_prev = jnp.zeros_like(q_cur)
+        beta_prev = jnp.float32(0.0)
+        rows, alphas, betas = [], [], []
+        for _ in range(k_i):
+            rows.append(self._slice(q_cur, jnp.int32(off), size).astype(self.basis_dtype))
+            w = self._mhvp(q_cur, idx_start, idx_size, params, batch)
+            if self._hvp_scale != 1.0:
+                w = w * self._hvp_scale
+            alpha, beta, q_next = self._recurrence(w, q_cur, q_prev, beta_prev)
+            q_prev, q_cur, beta_prev = q_cur, q_next, beta
+            alphas.append(float(alpha))
+            betas.append(float(beta))
+        a = np.asarray(alphas)
+        b = np.asarray(betas)[:-1]
+        T = np.diag(a) + np.diag(b, 1) + np.diag(b, -1)
+        ev, evec = np.linalg.eigh(T)
+        V = self._rotate_block(jnp.asarray(evec.T, jnp.float32), jnp.stack(rows))
+        return jnp.asarray(ev, jnp.float32), V
+
+    def step(self, state: HostLayerwiseState, batch):
+        """Advance one step IN PLACE; returns (state, metrics)."""
+        loss, g_flat = self._grad(state.params, batch)
+        if state.step % self.cfg.refresh_every == 0 or state.bases[0] is None:
+            m = self.cfg.lanczos_momentum
+            use_ema = m > 0 and state.step > 0 and state.bases[0] is not None
+            for i, (label, off, size, k_i) in enumerate(self.active):
+                ev, V = self.refresh_leaf(
+                    state.params, batch, g_flat, off, size, k_i
+                )
+                if use_ema:
+                    state.eigvals[i] = m * state.eigvals[i] + (1 - m) * ev
+                    state.bases[i] = (
+                        m * state.bases[i].astype(jnp.float32)
+                        + (1 - m) * V.astype(jnp.float32)
+                    ).astype(self.basis_dtype)
+                else:
+                    state.eigvals[i], state.bases[i] = ev, V
+        new_params, buf = self._adjust_update(
+            state.params, state.momentum, g_flat,
+            tuple(state.bases), tuple(state.eigvals), jnp.asarray(state.step),
+        )
+        state.params = new_params
+        state.momentum = buf
+        state.step += 1
+        eig_max = jnp.stack([e[-1] for e in state.eigvals])
+        eig_min = jnp.stack([e[0] for e in state.eigvals])
+        metrics = {
+            "loss": loss,
+            "layer_eig_max": eig_max,
+            "layer_eig_min": eig_min,
         }
         return state, metrics

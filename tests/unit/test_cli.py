@@ -297,3 +297,28 @@ def test_spectrum_cli_llama(capsys):
         "--num_batches", "1", "--max_length", "16",
     ])
     assert "lambda_max" in capsys.readouterr().out
+
+
+def test_train_cli_lanczos_layer_host(tmp_path):
+    """Host-orchestrated LAYER-WISE LanczosSGD through the CLI."""
+    from hessian_llm_vision_tpu.cli import train
+
+    loss = train.main([
+        "--model", "spiral", "--optimiser", "lanczos-layer-host", "--k", "3",
+        "--refresh_every", "2", "--lr", "0.05", "--batch_size", "60",
+        "--epochs", "2", "--log_every", "100", "--out", str(tmp_path / "runs"),
+    ])
+    assert np.isfinite(loss)
+
+
+def test_spectrum_cli_layerwise_host_loop(capsys):
+    """--layerwise --host_loop: one masked-HVP program for every leaf."""
+    from hessian_llm_vision_tpu.cli import spectrum
+
+    res = spectrum.main([
+        "--model", "spiral", "--lanczos_iters", "4", "--batch_size", "30",
+        "--num_points", "90", "--width", "8", "--depth", "1",
+        "--layerwise", "--host_loop",
+    ])
+    out = capsys.readouterr().out
+    assert "P=" in out and len(res) >= 4
