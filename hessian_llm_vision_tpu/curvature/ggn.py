@@ -89,44 +89,72 @@ def EmpiricalFisherOperator(
     *,
     damping: float = 0.0,
     flattener: Flattener | None = None,
+    chunk_size: int | None = None,
+    materialize: bool = True,
+    grad_dtype: jnp.dtype = jnp.float32,
 ) -> LinearOperator:
     """Empirical Fisher ``(1/n) Σᵢ gᵢ gᵢᵀ`` as an operator.
 
     ``loss_fn_per_example(params, example) -> scalar``; ``batch`` leaves have
-    a leading example axis.  ``F v = (1/n) Σᵢ (gᵢᵀ v) gᵢ`` with per-example
-    grads via ``vmap`` (no explicit outer products materialized).
+    a leading example axis.  ``F v = (1/n) Gᵀ (G v)`` on the flat (n, P)
+    per-example-gradient matrix G.
+
+    Memory/scale controls (G is O(n·P) — at LLM scale that dwarfs HBM):
+
+    * ``chunk_size`` — per-example grads are computed ``chunk_size``
+      examples at a time (bounds the vmap working set);
+    * ``materialize=True`` (default) stores G once in ``grad_dtype``
+      (``bfloat16`` halves it) — a k-fold saving across Krylov iterations;
+    * ``materialize=False`` stores NOTHING: each matvec recomputes grads
+      chunk by chunk, O(chunk·P) memory at n× grad cost per matvec.
     """
     fl = flattener or Flattener(params)
-    # per-example grads are independent of v — computed ONCE here, not per
-    # matvec (a k-fold saving on the dominant cost across Krylov iterations)
-    per_ex_grad = jax.vmap(
-        jax.grad(loss_fn_per_example), in_axes=(None, 0)
-    )(params, batch)
     n = jax.tree_util.tree_leaves(batch)[0].shape[0]
+    chunk = min(chunk_size or n, n)
 
-    def matvec(v: jax.Array) -> jax.Array:
-        vt = fl.unflatten(v)
+    @jax.jit
+    def _chunk_grads(p, ex_chunk):
+        return jax.vmap(
+            lambda e: fl.flatten(jax.grad(loss_fn_per_example)(p, e))
+        )(ex_chunk)
 
-        # (gᵢᵀ v) per example, then weighted sum of gᵢ
-        dots = jax.tree_util.tree_reduce(
-            jnp.add,
-            jax.tree_util.tree_map(
-                lambda g, x: jnp.sum(
-                    g.reshape(n, -1).astype(jnp.float32)
-                    * x.reshape(-1).astype(jnp.float32),
-                    axis=1,
-                ),
-                per_ex_grad,
-                vt,
-            ),
+    def _chunks():
+        for s in range(0, n, chunk):
+            yield jax.tree_util.tree_map(lambda x: x[s : s + chunk], batch)
+
+    def _apply(G, v):
+        # f32-accumulated two-matmul form (dispatches bf16-streaming when
+        # G is stored bf16 — same structure as ops.spectral.rank_k_apply)
+        dots = jax.lax.dot_general(
+            G, v.astype(G.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        out = jax.tree_util.tree_map(
-            lambda g: jnp.tensordot(dots, g.astype(jnp.float32), axes=(0, 0)) / n,
-            per_ex_grad,
+        return jax.lax.dot_general(
+            dots.astype(G.dtype), G, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        res = fl.flatten(out)
-        if damping:
-            res = res + damping * v
-        return res
+
+    if materialize:
+        G = jnp.concatenate(
+            [_chunk_grads(params, c).astype(grad_dtype) for c in _chunks()]
+        )
+
+        def matvec(v: jax.Array) -> jax.Array:
+            res = _apply(G, v.astype(jnp.float32)) / n
+            if damping:
+                res = res + damping * v
+            return res
+
+    else:
+
+        def matvec(v: jax.Array) -> jax.Array:
+            v32 = v.astype(jnp.float32)
+            res = jnp.zeros_like(v32)
+            for c in _chunks():
+                res = res + _apply(_chunk_grads(params, c), v32)
+            res = res / n
+            if damping:
+                res = res + damping * v
+            return res
 
     return LinearOperator(matvec, fl.size)

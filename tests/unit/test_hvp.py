@@ -166,3 +166,46 @@ def test_empirical_fisher(key):
     op = EmpiricalFisherOperator(per_ex_loss, params, batch)
     v = jax.random.normal(jax.random.fold_in(key, 2), (op.dim,))
     np.testing.assert_allclose(np.asarray(op(v)), F @ np.asarray(v), atol=3e-3)
+
+
+def test_empirical_fisher_chunked_and_unmaterialized(key):
+    """chunk_size / materialize=False / bf16-G variants all match the
+    dense empirical Fisher."""
+    from hessian_llm_vision_tpu.curvature.ggn import EmpiricalFisherOperator
+    from hessian_llm_vision_tpu.models import SpiralMLP, losses
+    from hessian_llm_vision_tpu.data import make_spirals
+    from hessian_llm_vision_tpu.utils.flatten import Flattener
+
+    x, y = make_spirals(30, seed=3)
+    model = SpiralMLP(width=6, depth=1)
+    params = model.init(key, x[:4])["params"]
+    fl = Flattener(params)
+
+    def per_ex_loss(p, ex):
+        xi, yi = ex
+        logits = model.apply({"params": p}, xi[None])
+        return losses.softmax_cross_entropy(logits, yi[None])
+
+    batch = (jnp.asarray(x), jnp.asarray(y))
+    n = 30
+    # dense reference: (1/n) sum g_i g_i^T v
+    G = jax.vmap(lambda e: fl.flatten(jax.grad(per_ex_loss)(params, e)))(batch)
+    v = jax.random.normal(jax.random.PRNGKey(5), (fl.size,), jnp.float32)
+    expected = np.asarray(G, np.float64).T @ (np.asarray(G, np.float64) @ np.asarray(v, np.float64)) / n
+
+    base = EmpiricalFisherOperator(per_ex_loss, params, batch)
+    np.testing.assert_allclose(np.asarray(base.matvec(v)), expected, rtol=2e-4, atol=1e-6)
+
+    chunked = EmpiricalFisherOperator(per_ex_loss, params, batch, chunk_size=7)
+    np.testing.assert_allclose(np.asarray(chunked.matvec(v)), expected, rtol=2e-4, atol=1e-6)
+
+    lazy = EmpiricalFisherOperator(
+        per_ex_loss, params, batch, chunk_size=7, materialize=False
+    )
+    np.testing.assert_allclose(np.asarray(lazy.matvec(v)), expected, rtol=2e-4, atol=1e-6)
+
+    bf16 = EmpiricalFisherOperator(
+        per_ex_loss, params, batch, grad_dtype=jnp.bfloat16
+    )
+    rel = np.linalg.norm(np.asarray(bf16.matvec(v)) - expected) / np.linalg.norm(expected)
+    assert rel < 2e-2  # bf16-squared G
