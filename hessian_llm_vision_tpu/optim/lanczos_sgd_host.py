@@ -103,6 +103,9 @@ class HostLanczosSGDTrainer:
 
         cfg = config
 
+        # NOTE: params/momentum are NOT donated — the initial params pytree
+        # is caller-owned (donating it would invalidate aliased references,
+        # e.g. a second trainer initialized from the same arrays)
         @jax.jit
         def adjust_update(params, momentum, g_flat, basis, eigvals, step):
             adj = spectral_adjust(g_flat, basis, eigvals, cfg.delta)
@@ -124,15 +127,17 @@ class HostLanczosSGDTrainer:
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def rotate(evecs, basis):
-            # Ritz rotation S^T Q: inputs stay in basis_dtype (no 5 GB f32
-            # materialization at 124M scale), f32 MXU accumulation; the
-            # recurrence basis buffer is donated (dead after rotation)
+            # Ritz rotation S^T Q: inputs stay in basis_dtype and the MXU
+            # emits basis_dtype directly — materializing a f32 (k, P)
+            # intermediate is a ~5 GB transient at 124M that tips the EMA
+            # refresh over HBM; a k<=~100-term dot loses nothing real in
+            # bf16 output.  The recurrence buffer is donated (dead after).
             return jnp.einsum(
                 "ij,jp->ip",
                 evecs.astype(basis.dtype),
                 basis,
-                preferred_element_type=jnp.float32,
-            ).astype(basis_dtype)
+                preferred_element_type=basis_dtype,
+            )
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def set_row(buf, row, i):
