@@ -220,6 +220,7 @@ def main() -> None:
     k = 10
     basis = jax.random.normal(jax.random.PRNGKey(3), (k, dim), jnp.float32)
     basis = basis / jnp.linalg.norm(basis, axis=1, keepdims=True)
+    basis_bf16 = basis.astype(jnp.bfloat16)  # the host trainer's LLM config
     eigvals = jnp.linspace(1.0, 30.0, k)
 
     @jax.jit
@@ -248,6 +249,9 @@ def main() -> None:
 
     t_plain = _time(plain_step, params, batch_list[0])
     t_adj = _time(adjusted_step, params, batch_list[0], basis, eigvals)
+    # bf16-streaming basis (rank_k_apply_bf16): half the HBM traffic of the
+    # bandwidth-bound adjust — what HostLanczosSGDTrainer(basis_bf16) runs
+    t_adj_bf16 = _time(adjusted_step, params, batch_list[0], basis_bf16, eigvals)
     hvp_time = wall / (iters * num_batches)  # one single-batch HVP
     # per-step frozen-adjust overhead: 2 passes over the k x P basis is an
     # HBM-bandwidth floor (k=10, P=124M, f32 -> ~10 GB -> ~25 ms on v5e)
@@ -256,6 +260,34 @@ def main() -> None:
     # over a refresh interval — the train_lanczos-equivalent interleaving
     snapshot_sec = k * hvp_time
     snapshot_overhead_1000 = snapshot_sec / (1000 * t_plain)
+
+    # ---- flagship training-run evidence (if the artifact exists) ---------
+    # examples/flagship_summary.py writes artifacts/flagship_r2/summary.json
+    # from the committed 1000-step 124M LanczosSGD-vs-Adam run on real text.
+    flagship = None
+    try:
+        import os
+
+        fpath = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "artifacts",
+            "flagship_r2",
+            "summary.json",
+        )
+        with open(fpath) as f:
+            s = json.load(f)
+        flagship = {
+            "adam_final_loss": round(s["adam"]["final_loss"], 3),
+            "lanczos_final_loss": round(s["lanczos_sgd"]["final_loss"], 3),
+            "adam_step_sec": round(s["adam"]["mean_step_sec"], 4),
+            "lanczos_step_sec": round(s["lanczos_sgd"]["mean_step_sec"], 4),
+            "lanczos_overhead_vs_adam": s["lanczos_overhead_vs_adam"],
+            "steps": s["lanczos_sgd"]["last_step"] + 1,
+            "note": "reference LanczosSGD/Adam step ratio ~18x (A100, k=100); "
+            "ours 1.77x (k=10, refresh=100) incl. refreshes",
+        }
+    except Exception:
+        pass
 
     num_hvps = iters * num_batches
     result = {
@@ -272,7 +304,11 @@ def main() -> None:
             "lambda_min": float(ev[0]),
             "plain_step_sec": round(t_plain, 4),
             "adjusted_step_sec": round(t_adj, 4),
+            "adjusted_step_sec_bf16_basis": round(t_adj_bf16, 4),
             "adjust_step_overhead_frac": round(adjust_overhead, 4),
+            "adjust_step_overhead_frac_bf16": round(
+                (t_adj_bf16 - t_plain) / t_plain, 4
+            ),
             "spectrum_snapshot_sec_k10": round(snapshot_sec, 3),
             "snapshot_overhead_at_refresh1000": round(snapshot_overhead_1000, 4),
             "flops_per_hvp_analytic": flops_hvp_analytic,
@@ -282,6 +318,7 @@ def main() -> None:
             "roofline_note": "v5e bf16 peak 197 TF/s; curvature matmuls run "
             "bf16x3 ('high') => effective peak ~66 TF/s",
             "top_ops": top_ops,
+            "flagship_124m_training": flagship,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
             "baseline": "BASELINE.json north star: <300 s on v5e-8 (8 chips); "
