@@ -65,6 +65,7 @@ class HostLanczosSGDTrainer:
         batch_size: Optional[int] = None,
         basis_dtype: jnp.dtype = jnp.float32,
         refresh_batch_size: Optional[int] = None,
+        refresh_precision: str = "high",
     ):
         """``basis_dtype=jnp.bfloat16`` halves the stored (k, P) basis —
         needed at GPT-2-124M scale where k=10 f32 rows (5 GB) plus the HVP
@@ -78,7 +79,15 @@ class HostLanczosSGDTrainer:
         halving the HVP batch halves the activation working set while the
         spectrum stays a same-expectation stochastic estimate (the
         reference's accumulation variant makes the same sub-batch
-        approximation, accum.py:144-151)."""
+        approximation, accum.py:144-151).
+
+        ``refresh_precision``: matmul precision for the refresh HVPs.
+        "high" (bf16x3) keeps Ritz values within ~2e-5 of f32 — the
+        parity-grade default.  "default" (one bf16 MXU pass) is measured
+        1.68x faster on the 124M HVP with ~1e-3 relative error on the
+        extreme Ritz values — acceptable for TRAINING refreshes, where the
+        delta-damped adjustment tolerates %-level eigenvalue error, but not
+        for reference-parity spectra."""
         self.cfg = config
         self.basis_dtype = basis_dtype
         self.refresh_batch_size = refresh_batch_size
@@ -89,6 +98,7 @@ class HostLanczosSGDTrainer:
             normalization=config.normalization,
             batch_size=batch_size,
             remat=config.remat,
+            precision=refresh_precision,
         )
         fl = self.fl
 

@@ -154,3 +154,29 @@ def test_host_layerwise_refresh_and_ema(key):
     np.testing.assert_array_equal(evs[1], evs[2])
     assert not np.array_equal(evs[2], evs[3])  # EMA refresh at step 3
     assert losses_seen[-1] < losses_seen[0]  # it optimizes
+
+
+def test_host_trainer_refresh_precision_default(key):
+    """refresh_precision='default' (1 bf16 MXU pass on TPU; no-op on CPU
+    f32) produces a working trainer whose loss descends — the fast-refresh
+    mode for delta-damped training (probe-measured 1.68x on 124M)."""
+    x, y = make_spirals(90, seed=11)
+    model = SpiralMLP(width=8, depth=1)
+    params = model.init(key, x[:4])["params"]
+
+    def loss_fn(p, b):
+        return losses.softmax_cross_entropy(model.apply({"params": p}, b[0]), b[1])
+
+    cfg = LanczosSGDConfig(
+        k=4, delta=1e-3, lr=0.05, momentum=0.9, normalization="sum",
+    )
+    trainer = HostLanczosSGDTrainer(
+        loss_fn, params, cfg, batch_size=90, refresh_precision="default"
+    )
+    state = trainer.init(params)
+    batch = (jnp.asarray(x), jnp.asarray(y))
+    losses_seen = []
+    for _ in range(6):
+        state, m = trainer.step(state, batch)
+        losses_seen.append(float(m["loss"]))
+    assert losses_seen[-1] < losses_seen[0]
