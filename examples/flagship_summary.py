@@ -43,6 +43,9 @@ def stats(steps, loss, ema, dt):
         "final_ema": float(ema[-1]),
         # drop the first interval (contains compile time)
         "mean_step_sec": float(dt[1:].mean()) if len(dt) > 1 else float(dt[0]),
+        # robust to the compile-time first row and artifact-save last row;
+        # refresh-amortized cost still included via the mean above
+        "median_step_sec": float(np.median(dt[1:])) if len(dt) > 1 else float(dt[0]),
     }
 
 
@@ -55,7 +58,7 @@ def main():
     overhead = sl["mean_step_sec"] / sa["mean_step_sec"] - 1.0
     summary = {
         "workload": "GPT-2 124M, byte-level local corpus (real on-disk text), "
-        "bs=8 seq=512, 1000 steps, single real TPU chip",
+        f"bs=8 seq=512, {sl['last_step'] + 1} steps, single real TPU chip",
         "adam": sa,
         "lanczos_sgd": sl,
         "lanczos_overhead_vs_adam": round(overhead, 4),
