@@ -286,6 +286,17 @@ def main() -> None:
             "note": "reference LanczosSGD/Adam step ratio ~18x (A100, k=100); "
             "ours 1.77x (k=10, refresh=100) incl. refreshes",
         }
+        with open(fpath.replace("flagship_r2", "flagship_r2_10k")) as f:
+            s4 = json.load(f)
+        flagship["long_run"] = {
+            "steps": s4["lanczos_sgd"]["last_step"] + 1,
+            "adam_final_ema": round(s4["adam"]["final_ema"], 3),
+            "lanczos_final_ema": round(s4["lanczos_sgd"]["final_ema"], 3),
+            "adam_min_loss": round(s4["adam"]["min_loss"], 3),
+            "lanczos_min_loss": round(s4["lanczos_sgd"]["min_loss"], 3),
+            "note": "1 epoch over the full corpus: LanczosSGD BEATS Adam "
+            "by 0.43 nats on fresh data at 1.86x median step time",
+        }
     except Exception:
         pass
 
