@@ -202,6 +202,7 @@ def main(argv=None) -> float:
             trainer = HostLayerwiseLanczosSGDTrainer(
                 wl.loss_fn, wl.params, cfg, batch_size=wl.batch_size,
                 basis_dtype=jnp.bfloat16 if args.basis_bf16 else jnp.float32,
+                refresh_precision=args.refresh_precision,
             )
         init_fn, step_fn = trainer.init, trainer.step
     elif args.optimiser in ("gn", "ngd"):

@@ -298,6 +298,7 @@ class HostLayerwiseLanczosSGDTrainer:
         batch_size: Optional[int] = None,
         basis_dtype: jnp.dtype = jnp.float32,
         min_leaf_size: int = 2,
+        refresh_precision: str = "high",
     ):
         from hessian_llm_vision_tpu.krylov.driver import (
             _jitted_masked_batch_hvp,
@@ -316,7 +317,7 @@ class HostLayerwiseLanczosSGDTrainer:
             self._hvp_scale = float(batch_size)
         else:
             self._hvp_scale = 1.0
-        self._mhvp = _jitted_masked_batch_hvp(loss_fn, "mean", "high", fl)
+        self._mhvp = _jitted_masked_batch_hvp(loss_fn, "mean", refresh_precision, fl)
 
         labels, spans = trees.partition_labels(params_template)
         #: (label, offset, size, k_i) for every adjusted leaf
