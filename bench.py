@@ -166,7 +166,11 @@ def main() -> None:
         cfg.n_embd // cfg.n_head
     )
     flops_fwd = 2 * p_matmul * n_tokens + attn_flops_fwd * cfg.n_layer
-    flops_hvp_analytic = 4 * flops_fwd  # fwd+bwd, doubled by the jvp
+    # fwd=1x; bwd=2x (each matmul spawns dX and dW matmuls); jvp doubles
+    # the whole linearized graph => 6x a forward pass.  XLA's own count
+    # (flops_hvp_xla below, ~8.85T at this config) also includes gathers/
+    # elementwise and is the honest numerator for MFU.
+    flops_hvp_analytic = 6 * flops_fwd
     try:
         ca = (
             jax.jit(batch_hvp)
@@ -185,10 +189,12 @@ def main() -> None:
         flops_hvp_xla = 0.0
     hvps_per_sec = iters * num_batches / wall
     achieved_tflops = flops_hvp_analytic * hvps_per_sec / 1e12
+    achieved_tflops_xla = flops_hvp_xla * hvps_per_sec / 1e12
     # v5e bf16 MXU peak 197 TFLOP/s; curvature runs matmuls at "high"
     # (bf16x3) => 3 MXU passes per logical f32 matmul => effective peak ~66
     PEAK_BF16, PASSES = 197.0, 3.0
     mfu_pct = 100.0 * achieved_tflops / (PEAK_BF16 / PASSES)
+    mfu_pct_xla = 100.0 * achieved_tflops_xla / (PEAK_BF16 / PASSES)
 
     # ---- top device ops from one profiler trace ---------------------------
     top_ops = []
@@ -325,7 +331,9 @@ def main() -> None:
             "flops_per_hvp_analytic": flops_hvp_analytic,
             "flops_per_hvp_xla": flops_hvp_xla,
             "achieved_tflops": round(achieved_tflops, 2),
+            "achieved_tflops_xla_count": round(achieved_tflops_xla, 2),
             "mfu_pct_of_bf16x3_roofline": round(mfu_pct, 1),
+            "mfu_pct_xla_count": round(mfu_pct_xla, 1),
             "roofline_note": "v5e bf16 peak 197 TF/s; curvature matmuls run "
             "bf16x3 ('high') => effective peak ~66 TF/s",
             "top_ops": top_ops,
