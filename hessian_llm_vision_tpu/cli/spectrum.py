@@ -173,6 +173,9 @@ def main(argv=None):
         # --probes > 1: sequential seeded probes, SLQ-averaged (the d.sh
         # data_seed x vector_seed grid, in one process, at any model scale)
         all_ev, all_ga = [], []
+        if args.operator in ("ggn", "fisher") and wl.model_fn is None:
+            raise SystemExit(f"--operator {args.operator} unsupported for "
+                             f"model {wl.name!r} (no model_fn)")
         for pi in range(max(args.probes, 1)):
             res = dataset_spectrum_host(
                 wl.loss_fn,
@@ -184,6 +187,9 @@ def main(argv=None):
                 batch_size=wl.batch_size,
                 callback=cb,
                 progress=args.probes == 1,
+                operator=args.operator,
+                model_fn=wl.model_fn,
+                out_loss_fn=wl.out_loss_fn,
             )
             s = ritz_decomposition(res)
             all_ev.append(np.asarray(s.eigvals))

@@ -46,6 +46,43 @@ def _jitted_batch_hvp(loss_fn, per_batch_norm, precision, fl):
 
 
 @functools.lru_cache(maxsize=32)
+def _jitted_batch_ggn(model_fn, out_loss_fn, precision, fl):
+    """One jitted per-batch GGN/Fisher matvec (v, params, batch) -> Gv.
+
+    Same host-loop contract as :func:`_jitted_batch_hvp` but for the
+    Gauss-Newton product ``Jᵀ H_out J v`` (= Fisher for NLL out-losses) —
+    the program is the same size class as one HVP, so GGN/Fisher spectra
+    work at any scale the Hessian path does (the fused
+    ``curvature.ggn.GGNOperator`` + ``lanczos`` scan exceeds this
+    backend's compile ceiling at 124M).  Reference role: colaexp.py:100-110
+    GN/FIM spectra, at LLM scale.
+    """
+
+    @jax.jit
+    def batch_ggn(v, params, batch):
+        vt = fl.unflatten(v)
+
+        def f(p):
+            return model_fn(p, batch)
+
+        def run():
+            outputs, jv = jax.jvp(f, (params,), (vt,))
+            h_jv = jax.jvp(
+                jax.grad(lambda o: out_loss_fn(o, batch)), (outputs,), (jv,)
+            )[1]
+            _, vjp_fn = jax.vjp(f, params)
+            (jt_h_jv,) = vjp_fn(h_jv)
+            return fl.flatten(jt_h_jv)
+
+        if precision is not None:
+            with jax.default_matmul_precision(precision):
+                return run()
+        return run()
+
+    return batch_ggn
+
+
+@functools.lru_cache(maxsize=32)
 def _jitted_masked_batch_hvp(loss_fn, per_batch_norm, precision, fl):
     """ONE jitted block-restricted HVP for ALL parameter leaves.
 
@@ -161,12 +198,20 @@ def dataset_spectrum_host(
     flattener: Optional[Flattener] = None,
     callback: Optional[Callable[[int, np.ndarray, np.ndarray], None]] = None,
     progress: bool = False,
+    operator: str = "hessian",
+    model_fn: Optional[Callable[[Any, Any], jax.Array]] = None,
+    out_loss_fn: Optional[Callable[[jax.Array, Any], jax.Array]] = None,
 ) -> LanczosResult:
-    """T-only Lanczos of the dataset-mean Hessian, host-driven.
+    """T-only Lanczos of the dataset-mean curvature operator, host-driven.
 
     ``batch_list``: equal-size device-ready batches (the loader).  Returns
     a :class:`LanczosResult` (basis=None); feed to ``ritz_decomposition``.
     ``callback(i, alphas, betas)`` per iteration for resumable checkpoints.
+
+    ``operator``: "hessian" (default, from ``loss_fn``) or "ggn"/"fisher"
+    (requires ``model_fn`` + ``out_loss_fn``; Fisher == GGN of the NLL) —
+    the LLM-scale path for the reference's GN/FIM spectra
+    (colaexp.py:100-110).
     """
     fl = flattener or Flattener(params)
     if (v0 is None) == (key is None):
@@ -183,7 +228,16 @@ def dataset_spectrum_host(
         per_batch_norm, scale = "mean", float(batch_size)
     else:
         raise ValueError(normalization)
-    batch_hvp = _jitted_batch_hvp(loss_fn, per_batch_norm, precision, fl)
+    if operator in ("ggn", "fisher"):
+        if model_fn is None or out_loss_fn is None:
+            raise ValueError(f"operator={operator!r} needs model_fn+out_loss_fn")
+        # out_loss_fn is already a per-batch mean; "sum" semantics come
+        # from the same scale factor as the Hessian path
+        batch_hvp = _jitted_batch_ggn(model_fn, out_loss_fn, precision, fl)
+    elif operator == "hessian":
+        batch_hvp = _jitted_batch_hvp(loss_fn, per_batch_norm, precision, fl)
+    else:
+        raise ValueError(f"unknown operator {operator!r}")
 
     if v0 is None:
         v0 = jax.random.normal(key, (fl.size,), jnp.float32)

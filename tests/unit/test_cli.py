@@ -322,3 +322,17 @@ def test_spectrum_cli_layerwise_host_loop(capsys):
     ])
     out = capsys.readouterr().out
     assert "P=" in out and len(res) >= 4
+
+
+def test_spectrum_cli_ggn_host_loop(capsys):
+    """--operator ggn --host_loop: GGN spectrum through the LLM-scale host
+    path (colaexp.py GN spectra at any scale the Hessian path reaches)."""
+    from hessian_llm_vision_tpu.cli import spectrum
+
+    spectrum.main([
+        "--model", "gpt2-tiny", "--lanczos_iters", "6", "--batch_size", "2",
+        "--num_batches", "2", "--max_length", "16",
+        "--operator", "ggn", "--host_loop",
+    ])
+    out_text = capsys.readouterr().out
+    assert "lambda_max" in out_text

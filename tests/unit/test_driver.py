@@ -112,3 +112,67 @@ def test_driver_and_operator_normalizations_agree(key):
             np.asarray(res_f.alphas), np.asarray(res_h.alphas),
             rtol=1e-4, atol=1e-6, err_msg=f"normalization={norm}",
         )
+
+
+def test_driver_ggn_matches_fused_operator(key):
+    """Host-driven operator='ggn' == the fused GGNOperator matvec, and its
+    full-rank Ritz values == dense GGN eigenvalues (colaexp.py:100-110 at
+    the host-loop scale path)."""
+    from hessian_llm_vision_tpu.curvature import GGNOperator
+    from hessian_llm_vision_tpu.krylov.driver import _jitted_batch_ggn
+
+    x, y = make_spirals(60, seed=21)
+    model = SpiralMLP(width=6, depth=1)
+    params = model.init(key, x[:4])["params"]
+    batch = (jnp.asarray(x), jnp.asarray(y))
+
+    def model_fn(p, b):
+        return model.apply({"params": p}, b[0])
+
+    def out_loss_fn(logits, b):
+        return losses.softmax_cross_entropy(logits, b[1])
+
+    def loss_fn(p, b):
+        return out_loss_fn(model_fn(p, b), b)
+
+    fl = Flattener(params)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (fl.size,))
+
+    # matvec parity: host-loop jitted program vs fused operator
+    mv_host = _jitted_batch_ggn(model_fn, out_loss_fn, "high", fl)
+    op = GGNOperator(model_fn, out_loss_fn, params, batch, flattener=fl)
+    np.testing.assert_allclose(
+        np.asarray(mv_host(v, params, batch)), np.asarray(op.matvec(v)),
+        rtol=1e-5, atol=1e-6,
+    )
+
+    # full-rank host spectrum vs dense GGN eigenvalues
+    res = dataset_spectrum_host(
+        loss_fn, params, [batch], fl.size, v0=v, flattener=fl,
+        operator="ggn", model_fn=model_fn, out_loss_fn=out_loss_fn,
+    )
+    spec = ritz_decomposition(res)
+    dense = np.stack([np.asarray(op.matvec(e)) for e in np.eye(fl.size, dtype=np.float32)])
+    ev_dense = np.linalg.eigvalsh((dense + dense.T) / 2)
+    np.testing.assert_allclose(
+        float(spec.eigvals[-1]), float(ev_dense[-1]), rtol=1e-3
+    )
+    # GGN is PSD: no significantly negative Ritz values
+    assert float(spec.eigvals[0]) > -1e-4 * float(ev_dense[-1])
+
+
+def test_driver_ggn_requires_model_fn(key):
+    x, y = make_spirals(30, seed=5)
+    model = SpiralMLP(width=4, depth=1)
+    params = model.init(key, x[:4])["params"]
+
+    def loss_fn(p, b):
+        return losses.softmax_cross_entropy(model.apply({"params": p}, b[0]), b[1])
+
+    import pytest
+
+    with pytest.raises(ValueError, match="model_fn"):
+        dataset_spectrum_host(
+            loss_fn, params, [(jnp.asarray(x), jnp.asarray(y))], 5,
+            key=key, operator="ggn",
+        )
