@@ -226,7 +226,6 @@ def main() -> None:
     k = 10
     basis = jax.random.normal(jax.random.PRNGKey(3), (k, dim), jnp.float32)
     basis = basis / jnp.linalg.norm(basis, axis=1, keepdims=True)
-    basis_bf16 = basis.astype(jnp.bfloat16)  # the host trainer's LLM config
     eigvals = jnp.linspace(1.0, 30.0, k)
 
     @jax.jit
@@ -256,7 +255,11 @@ def main() -> None:
     t_plain = _time(plain_step, params, batch_list[0])
     t_adj = _time(adjusted_step, params, batch_list[0], basis, eigvals)
     # bf16-streaming basis (rank_k_apply_bf16): half the HBM traffic of the
-    # bandwidth-bound adjust — what HostLanczosSGDTrainer(basis_bf16) runs
+    # bandwidth-bound adjust — what HostLanczosSGDTrainer(basis_bf16) runs.
+    # The f32 basis (5 GB) is dropped BEFORE timing: holding both bases
+    # through the step timings OOMs the chip next to the HVP working set.
+    basis_bf16 = jax.block_until_ready(basis.astype(jnp.bfloat16))
+    del basis
     t_adj_bf16 = _time(adjusted_step, params, batch_list[0], basis_bf16, eigvals)
     hvp_time = wall / (iters * num_batches)  # one single-batch HVP
     # per-step frozen-adjust overhead: 2 passes over the k x P basis is an
