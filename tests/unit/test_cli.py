@@ -336,3 +336,17 @@ def test_spectrum_cli_ggn_host_loop(capsys):
     ])
     out_text = capsys.readouterr().out
     assert "lambda_max" in out_text
+
+
+def test_spectrum_cli_hvp_precision_default(capsys):
+    """--hvp_precision default runs the host loop at bf16x1 (no-op on the
+    CPU test backend; the knob's speed/accuracy tradeoff is measured on
+    TPU — see README round-2 table)."""
+    from hessian_llm_vision_tpu.cli import spectrum
+
+    spectrum.main([
+        "--model", "gpt2-tiny", "--lanczos_iters", "5", "--batch_size", "2",
+        "--num_batches", "2", "--max_length", "16",
+        "--host_loop", "--hvp_precision", "default",
+    ])
+    assert "lambda_max" in capsys.readouterr().out
