@@ -61,6 +61,11 @@ def main(argv=None):
     results.sort(key=lambda r: r["final_loss"])
     print(json.dumps(results, indent=2, default=str))
     if args.out_json:
+        import os
+
+        # an hours-long sweep must not lose its table to a missing dir
+        os.makedirs(os.path.dirname(os.path.abspath(args.out_json)),
+                    exist_ok=True)
         with open(args.out_json, "w") as f:
             json.dump(results, f, indent=2, default=str)
     return results
