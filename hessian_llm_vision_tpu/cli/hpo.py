@@ -102,6 +102,12 @@ def main(argv=None):
                 best = {"params": point, "loss": loss, "backend": "random-search"}
 
     print(json.dumps(best, indent=2))
+    import os
+
+    # a 50-trial study must not lose its result to a missing dir (same
+    # hardening as cli.sweep)
+    parent = os.path.dirname(os.path.abspath(args.out_json))
+    os.makedirs(parent, exist_ok=True)
     with open(args.out_json, "w") as f:
         json.dump(best, f, indent=2)
     print(f"best -> {args.out_json}")
