@@ -176,7 +176,7 @@ def main(argv=None) -> float:
             HostLayerwiseLanczosSGDTrainer,
         )
 
-        if accum > 1:
+        if accum > 1 and args.optimiser == "lanczos-layer-host":
             raise SystemExit(
                 f"--optimiser {args.optimiser} does not support "
                 "--accumulation_steps > 1 yet"
@@ -189,6 +189,7 @@ def main(argv=None) -> float:
             weight_decay=args.wd,
             refresh_every=args.refresh_every,
             lanczos_momentum=args.lanczos_momentum,
+            accum_steps=accum,
             normalization="sum",
         )
         if args.optimiser == "lanczos-host":

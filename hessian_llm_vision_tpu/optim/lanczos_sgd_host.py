@@ -87,7 +87,17 @@ class HostLanczosSGDTrainer:
         1.68x faster on the 124M HVP with ~1e-3 relative error on the
         extreme Ritz values — acceptable for TRAINING refreshes, where the
         delta-damped adjustment tolerates %-level eigenvalue error, but not
-        for reference-parity spectra."""
+        for reference-parity spectra.
+
+        ``config.accum_steps > 1``: ``step`` expects batch leaves with a
+        leading ``(accum, batch, ...)`` micro-batch axis and accumulates
+        the MEAN gradient over micro-batches as a host loop over the one
+        cached grad program (the fused path's lax.scan would multiply the
+        program size past this backend's compile ceiling at 124M; the
+        reference's accumulation is likewise a host loop, accum.py:144-151).
+        Refresh HVPs run on the first micro-batch (further sliced by
+        ``refresh_batch_size``) — the same stochastic sub-batch
+        approximation as the refresh itself."""
         self.cfg = config
         self.basis_dtype = basis_dtype
         self.refresh_batch_size = refresh_batch_size
@@ -157,6 +167,14 @@ class HostLanczosSGDTrainer:
                 buf, row.astype(buf.dtype)[None], (i, 0)
             )
 
+        inv_accum = 1.0 / max(config.accum_steps, 1)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def acc_add(g_acc, g_new):
+            # running mean accumulator: g_acc += g_new / accum (donated —
+            # at 124M each flat grad is ~0.5 GB)
+            return g_acc + inv_accum * g_new
+
         m = config.lanczos_momentum
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -174,6 +192,7 @@ class HostLanczosSGDTrainer:
         self._rotate = rotate
         self._set_row = set_row
         self._ema_blend = ema_blend
+        self._acc_add = acc_add
 
     def init(self, params) -> HostLanczosSGDState:
         # basis starts as None (step 0 always refreshes) — at 124M scale a
@@ -220,8 +239,28 @@ class HostLanczosSGDTrainer:
         return jnp.asarray(ev, jnp.float32), V
 
     def step(self, state: HostLanczosSGDState, batch):  # noqa: C901
-        """Advance one step IN PLACE; returns (state, metrics)."""
-        loss, g_flat = self._grad(state.params, batch)
+        """Advance one step IN PLACE; returns (state, metrics).
+
+        With ``config.accum_steps > 1``, ``batch`` leaves carry a leading
+        micro-batch axis ``(accum, batch, ...)``.
+        """
+        accum = max(self.cfg.accum_steps, 1)
+        if accum > 1:
+            losses = []
+            g_flat = None
+            for i in range(accum):
+                mb = jax.tree_util.tree_map(lambda x, i=i: x[i], batch)
+                loss_i, g_i = self._grad(state.params, mb)
+                losses.append(loss_i)
+                g_flat = (
+                    self._acc_add(g_flat, g_i) if g_flat is not None
+                    else self._acc_add(jnp.zeros_like(g_i), g_i)
+                )
+            loss = jnp.mean(jnp.stack(losses))
+            # refresh on the first micro-batch (sub-batch approximation)
+            batch = jax.tree_util.tree_map(lambda x: x[0], batch)
+        else:
+            loss, g_flat = self._grad(state.params, batch)
         if state.step % self.cfg.refresh_every == 0 or state.basis is None:
             m = self.cfg.lanczos_momentum
             use_ema = m > 0 and state.step > 0 and state.basis is not None

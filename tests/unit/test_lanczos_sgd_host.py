@@ -180,3 +180,53 @@ def test_host_trainer_refresh_precision_default(key):
         state, m = trainer.step(state, batch)
         losses_seen.append(float(m["loss"]))
     assert losses_seen[-1] < losses_seen[0]
+
+
+def test_host_trainer_accumulation(key):
+    """accum_steps=2 over two IDENTICAL micro-batches == accum_steps=1 on
+    one of them, exactly (mean grad and first-micro-batch refresh agree);
+    and with distinct micro-batches the loss still descends
+    (accum.py:138-234 at the host-trainer scale path)."""
+    x, y = make_spirals(80, seed=12)
+    model = SpiralMLP(width=8, depth=1)
+    params = model.init(key, x[:4])["params"]
+
+    def loss_fn(p, b):
+        return losses.softmax_cross_entropy(model.apply({"params": p}, b[0]), b[1])
+
+    xb, yb = jnp.asarray(x), jnp.asarray(y)
+    single = (xb, yb)
+    dup = (jnp.stack([xb, xb]), jnp.stack([yb, yb]))  # identical micro-batches
+
+    base_cfg = dict(k=4, delta=1e-3, lr=0.05, momentum=0.9, normalization="sum")
+    tr1 = HostLanczosSGDTrainer(
+        loss_fn, params, LanczosSGDConfig(**base_cfg), batch_size=80
+    )
+    tr2 = HostLanczosSGDTrainer(
+        loss_fn, params, LanczosSGDConfig(accum_steps=2, **base_cfg), batch_size=80
+    )
+    s1, s2 = tr1.init(params), tr2.init(params)
+    for _ in range(3):
+        s1, m1 = tr1.step(s1, single)
+        s2, m2 = tr2.step(s2, dup)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s1.params),
+            jax.tree_util.tree_leaves(s2.params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+    # distinct micro-batches: losses descend
+    from hessian_llm_vision_tpu.train import to_microbatches
+
+    tr3 = HostLanczosSGDTrainer(
+        loss_fn, params, LanczosSGDConfig(accum_steps=2, **base_cfg), batch_size=80
+    )
+    s3 = tr3.init(params)
+    mb = to_microbatches(single, 2)
+    seen = []
+    for _ in range(6):
+        s3, m3 = tr3.step(s3, mb)
+        seen.append(float(m3["loss"]))
+    assert seen[-1] < seen[0]
