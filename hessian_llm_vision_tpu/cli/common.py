@@ -46,6 +46,20 @@ def _lm_batches(args, vocab_size) -> list:
             subsample=args.subsample,
             seed=args.data_seed,
         )
+        # --num_batches caps the loaded corpus too (consistent flag
+        # semantics across datasets): a default --subsample 1.0 otherwise
+        # loads the whole corpus (~4k batches at bs8/seq512) and multiplies
+        # host-loop spectrum cost per Lanczos iteration.
+        nb = getattr(args, "num_batches", None)
+        if nb is not None and int(nb) > 0:
+            nb = int(nb)
+            if stacked["input_ids"].shape[0] > nb:
+                print(
+                    f"[data] local corpus: capping "
+                    f"{stacked['input_ids'].shape[0]} -> {nb} batches "
+                    "(--num_batches; omit it to load the whole corpus)"
+                )
+                stacked = {k: v[:nb] for k, v in stacked.items()}
         made = True
     if args.dataset == "wikipedia":
         try:
@@ -64,11 +78,22 @@ def _lm_batches(args, vocab_size) -> list:
                 batch_size=args.batch_size,
             )
             made = True
-        except Exception as e:  # offline fallback
+        except Exception as e:
+            # Loud by default: a typo'd dataset name in a real deployment
+            # must not silently train on noise.  The zero-egress test/dev
+            # environment opts into the fallback explicitly.
+            if not getattr(args, "allow_fallback", False):
+                raise SystemExit(
+                    f"dataset 'wikipedia' unavailable ({type(e).__name__}: "
+                    f"{e}); pass --allow_fallback to proceed on seeded "
+                    "random tokens, or use --dataset random/markov/"
+                    "local:<path>"
+                )
             print(f"[data] wikipedia unavailable ({type(e).__name__}); "
-                  "falling back to seeded random tokens")
+                  "falling back to seeded random tokens (--allow_fallback)")
     if not made:
-        n_batches = max(1, int(args.num_batches))
+        nb = getattr(args, "num_batches", None)
+        n_batches = 4 if nb is None else max(1, int(nb))
         if args.dataset == "markov":
             from hessian_llm_vision_tpu.data import markov_token_batches
 
@@ -117,6 +142,9 @@ def build_workload(args) -> Workload:
     key = jax.random.PRNGKey(args.seed)
     name = args.model
 
+    attn_blk = getattr(args, "attn_block_q", None)
+    loss_chunk = getattr(args, "loss_chunk", None)
+
     if name.startswith("gpt2"):
         cfg = (
             GPT2Config.tiny(n_positions=max(64, args.max_length))
@@ -126,6 +154,8 @@ def build_workload(args) -> Workload:
                 dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
             )
         )
+        if attn_blk:
+            cfg = dataclasses.replace(cfg, attn_block_q=attn_blk)
         model = GPT2LMHead(cfg)
         params = model.init_params(key, seq_len=min(16, args.max_length))
         if args.checkpoint:
@@ -144,7 +174,7 @@ def build_workload(args) -> Workload:
             name,
             model,
             params,
-            losses.lm_loss_fn(model),
+            losses.lm_loss_fn(model, loss_chunk=loss_chunk),
             _lm_batches(args, cfg.vocab_size),
             args.batch_size,
             model_fn=lm_model_fn,
@@ -155,6 +185,8 @@ def build_workload(args) -> Workload:
         cfg = PYTHIA_CONFIGS[name]
         if args.bf16:
             cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
+        if attn_blk:
+            cfg = dataclasses.replace(cfg, attn_block_q=attn_blk)
         model = NeoXLMHead(cfg)
         params = model.init_params(key, seq_len=min(16, args.max_length))
         if args.checkpoint:
@@ -173,7 +205,7 @@ def build_workload(args) -> Workload:
             name,
             model,
             params,
-            losses.lm_loss_fn(model),
+            losses.lm_loss_fn(model, loss_chunk=loss_chunk),
             _lm_batches(args, cfg.vocab_size),
             args.batch_size,
             model_fn=lm_model_fn,
@@ -186,6 +218,8 @@ def build_workload(args) -> Workload:
         cfg = LLAMA_CONFIGS[name]
         if args.bf16:
             cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
+        if attn_blk:
+            cfg = dataclasses.replace(cfg, attn_block_q=attn_blk)
         model = LlamaLMHead(cfg)
         params = model.init_params(key, seq_len=min(16, args.max_length))
         if args.checkpoint:
@@ -205,7 +239,7 @@ def build_workload(args) -> Workload:
             name,
             model,
             params,
-            losses.lm_loss_fn(model),
+            losses.lm_loss_fn(model, loss_chunk=loss_chunk),
             _lm_batches(args, cfg.vocab_size),
             args.batch_size,
             model_fn=lm_model_fn,
@@ -294,7 +328,7 @@ def build_workload(args) -> Workload:
             num_classes = len(args.classes) if args.classes else 10
         except FileNotFoundError:
             print("[data] CIFAR-10 unavailable; falling back to random images")
-            nb = max(1, int(args.num_batches))
+            nb = 4 if args.num_batches is None else max(1, int(args.num_batches))
             xb, yb = random_image_batches(nb, args.batch_size, seed=args.data_seed)
             x = xb.reshape(-1, 32, 32, 3)
             y = yb.reshape(-1)
@@ -349,11 +383,24 @@ def add_common_args(parser) -> None:
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--subsample", type=float, default=1.0)
     parser.add_argument("--max_length", type=int, default=64)
-    parser.add_argument("--num_batches", type=int, default=4,
-                        help="batches for synthetic fallbacks")
+    parser.add_argument("--num_batches", type=int, default=None,
+                        help="batch-count cap: synthetic datasets generate "
+                        "this many (default 4); local:<path> corpora are "
+                        "truncated to it (default: whole corpus)")
+    parser.add_argument("--allow_fallback", action="store_true",
+                        help="permit the wikipedia->random-tokens fallback "
+                        "(offline dev); without it a failed hub load is an "
+                        "error, never silent noise-training")
     parser.add_argument("--random_mask", action="store_true",
                         help="random attention masks on synthetic tokens "
                         "(the Hessian-of-noise probe, gpt2_savehessian_noise.py)")
+    parser.add_argument("--attn_block_q", type=int, default=None,
+                        help="blockwise-attention query-block size for LMs "
+                        "(memory-light curvature path, models/attention.py); "
+                        "default dense")
+    parser.add_argument("--loss_chunk", type=int, default=None,
+                        help="chunked-vocab LM loss: never materialize the "
+                        "(B,T,V) logits; chunk size in sequence positions")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--data_seed", type=int, default=42)
     parser.add_argument("--checkpoint", default=None)
@@ -362,7 +409,10 @@ def add_common_args(parser) -> None:
     parser.add_argument("--classes", type=int, nargs="*", default=None)
     parser.add_argument("--augment", action="store_true",
                         help="RandomCrop(4)+flip on vision data "
-                        "(train_savespec.py:23-42)")
+                        "(train_savespec.py:23-42). NOTE: one seeded draw "
+                        "applied to the whole dataset up front (curvature "
+                        "jobs see a fixed dataset); the reference resamples "
+                        "per example per epoch")
     parser.add_argument("--noise", type=float, default=0.0,
                         help="AddGaussianNoise std on vision data "
                         "(train_savespec.py:46-55)")

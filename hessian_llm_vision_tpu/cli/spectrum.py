@@ -48,9 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--t_checkpoint", default=None,
                    help="save T + full Lanczos state every iteration "
                    "(resumable, diego_pythia mode)")
-    p.add_argument("--state_every", type=int, default=1,
+    p.add_argument("--state_every", type=int, default=None,
                    help="write the FULL resume state (2xP f32) only every N "
-                   "iterations; the tiny T stays per-iteration")
+                   "iterations; the tiny T stays per-iteration. Default is "
+                   "scale-aware: 1 below 1e8 params, 5 above (a 124M "
+                   "--t_checkpoint run otherwise writes ~1 GB per iter)")
     p.add_argument("--resume_spectrum", default=None,
                    help="resume an interrupted --t_checkpoint run from its "
                    ".state.npz file")
@@ -263,10 +265,15 @@ def main(argv=None):
                          vector_seed=args.vector_seed, iter=i)
             print(f"step {i + 1}  T checkpointed")
 
+        # the full state is 2xP f32 (~1 GB at 124M); throttled, while
+        # T (KBs) still checkpoints every iteration above.  Scale-aware
+        # default: >=1e8 params -> every 5 iters (<=8 GB of writes per 35)
+        state_every = args.state_every
+        if state_every is None:
+            state_every = 5 if op.dim >= 10**8 else 1
+
         def scb(i, st):
-            # the full state is 2xP f32 (~1 GB at 124M); throttled, while
-            # T (KBs) still checkpoints every iteration above
-            if (i + 1) % max(args.state_every, 1) == 0 or (
+            if (i + 1) % max(state_every, 1) == 0 or (
                 i + 1
             ) == args.lanczos_iters:
                 save_lanczos_state(t_path + ".state", **st)

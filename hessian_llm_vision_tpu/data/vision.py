@@ -22,10 +22,12 @@ MNIST_MEAN, MNIST_STD = 0.1307, 0.3081
 CIFAR_MEAN = np.array([0.4914, 0.4822, 0.4465], np.float32)
 CIFAR_STD = np.array([0.2470, 0.2435, 0.2616], np.float32)
 
-_DEFAULT_MNIST = os.environ.get(
-    "HLV_MNIST_DIR", "/root/reference/data/MNIST/raw"
-)
-_DEFAULT_CIFAR = os.environ.get("HLV_CIFAR_DIR", "")
+def _mnist_dir() -> str:
+    return os.environ.get("HLV_MNIST_DIR", "/root/reference/data/MNIST/raw")
+
+
+def _cifar_dir() -> str:
+    return os.environ.get("HLV_CIFAR_DIR", "")
 
 
 def _read_idx(path: str) -> np.ndarray:
@@ -46,9 +48,13 @@ def _find_idx(base: str, stem: str) -> Optional[str]:
 
 
 def load_mnist(
-    split: str = "test", data_dir: str = _DEFAULT_MNIST, normalize: bool = True
+    split: str = "test", data_dir: Optional[str] = None, normalize: bool = True
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """(images (N,28,28,1) f32, labels (N,) i32) from raw idx files."""
+    """(images (N,28,28,1) f32, labels (N,) i32) from raw idx files.
+
+    ``data_dir`` defaults to ``$HLV_MNIST_DIR`` resolved at CALL time (so
+    tests/deployments can point it at fixtures after import)."""
+    data_dir = data_dir or _mnist_dir()
     prefix = "train" if split == "train" else "t10k"
     img_p = _find_idx(data_dir, f"{prefix}-images-idx3-ubyte")
     lbl_p = _find_idx(data_dir, f"{prefix}-labels-idx1-ubyte")
@@ -65,10 +71,12 @@ def load_mnist(
 
 
 def load_cifar10(
-    split: str = "train", data_dir: str = _DEFAULT_CIFAR, normalize: bool = True
+    split: str = "train", data_dir: Optional[str] = None, normalize: bool = True
 ) -> Tuple[np.ndarray, np.ndarray]:
     """(images (N,32,32,3) f32 NHWC, labels (N,) i32) from the python-pickle
-    distribution (cifar-10-batches-py)."""
+    distribution (cifar-10-batches-py).  ``data_dir`` defaults to
+    ``$HLV_CIFAR_DIR`` resolved at CALL time."""
+    data_dir = data_dir or _cifar_dir()
     base = os.path.join(data_dir, "cifar-10-batches-py")
     if not os.path.isdir(base):
         raise FileNotFoundError(

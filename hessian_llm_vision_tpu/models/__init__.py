@@ -1,3 +1,4 @@
+from hessian_llm_vision_tpu.models.attention import causal_attention
 from hessian_llm_vision_tpu.models.mlp import SpiralMLP, SimpleNet
 from hessian_llm_vision_tpu.models.gpt2 import GPT2Config, GPT2LMHead
 from hessian_llm_vision_tpu.models.pythia import NeoXConfig, NeoXLMHead, PYTHIA_CONFIGS
@@ -7,6 +8,7 @@ from hessian_llm_vision_tpu.models.resnet import ResNet50
 from hessian_llm_vision_tpu.models import losses
 
 __all__ = [
+    "causal_attention",
     "SpiralMLP",
     "SimpleNet",
     "GPT2Config",

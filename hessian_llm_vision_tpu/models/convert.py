@@ -176,10 +176,18 @@ def llama_from_torch_state_dict(sd: Dict[str, Any], config) -> Dict[str, Any]:
     def linear(prefix):
         return {"kernel": g(prefix + ".weight").T}
 
+    # checkpoints saved with tie_word_embeddings=True (common for small
+    # LLaMA-family models) omit lm_head.weight — resolve it to the input
+    # embedding, mirroring HF's tied-weight resolution
+    head = (
+        linear("lm_head")
+        if "lm_head.weight" in sd
+        else {"kernel": g("embed_tokens.weight").T}
+    )
     params: Dict[str, Any] = {
         "embed_tokens": g("embed_tokens.weight"),
         "norm": {"scale": g("norm.weight")},
-        "lm_head": linear("lm_head"),
+        "lm_head": head,
     }
     for i in range(config.num_layers):
         p = f"layers.{i}."

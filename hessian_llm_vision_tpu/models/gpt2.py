@@ -25,6 +25,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from hessian_llm_vision_tpu.models.attention import causal_attention
+
 
 @dataclasses.dataclass(frozen=True)
 class GPT2Config:
@@ -36,6 +38,10 @@ class GPT2Config:
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32  # compute dtype; params always f32
     tie_word_embeddings: bool = True
+    # blockwise-attention query-block size (None = dense (B,H,T,T) path);
+    # the memory-light curvature configuration — see models/attention.py
+    attn_block_q: int | None = None
+    attn_remat: bool = True
 
     @property
     def head_dim(self) -> int:
@@ -68,12 +74,9 @@ class CausalSelfAttention(nn.Module):
             return t.reshape(B, T, cfg.n_head, cfg.head_dim)
 
         q, k, v = heads(q), heads(k), heads(v)
-        scale = 1.0 / jnp.sqrt(jnp.asarray(cfg.head_dim, jnp.float32))
-        att = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
-        mask = jnp.tril(jnp.ones((T, T), dtype=bool))
-        att = jnp.where(mask[None, None], att, jnp.finfo(jnp.float32).min)
-        att = jax.nn.softmax(att, axis=-1).astype(cfg.dtype)
-        y = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(B, T, C)
+        y = causal_attention(
+            q, k, v, block_q=cfg.attn_block_q, remat=cfg.attn_remat
+        ).reshape(B, T, C)
         y = nn.Dense(C, dtype=cfg.dtype, name="c_proj")(y)
         if cfg.dropout > 0:
             y = nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
@@ -115,7 +118,7 @@ class GPT2LMHead(nn.Module):
     config: GPT2Config
 
     @nn.compact
-    def __call__(self, input_ids, deterministic=True):
+    def __call__(self, input_ids, deterministic=True, return_hidden=False):
         cfg = self.config
         B, T = input_ids.shape
         wte = self.param(
@@ -134,11 +137,21 @@ class GPT2LMHead(nn.Module):
         for i in range(cfg.n_layer):
             x = Block(cfg, name=f"h_{i}")(x, deterministic)
         x = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln_f")(x)
+        if return_hidden:
+            # final pre-logit hidden states; combine with output_kernel()
+            # for the chunked-vocab loss (losses.chunked_causal_lm_loss)
+            return x
         if cfg.tie_word_embeddings:
             logits = jnp.einsum("btc,vc->btv", x, wte.astype(cfg.dtype))
         else:
             logits = nn.Dense(cfg.vocab_size, use_bias=False, name="lm_head")(x)
         return logits.astype(jnp.float32)
+
+    def output_kernel(self, params):
+        """(C, V) output-projection matrix: ``logits = hidden @ kernel``."""
+        if self.config.tie_word_embeddings:
+            return params["wte"].T
+        return params["lm_head"]["kernel"]
 
     def init_params(self, rng, batch_size: int = 1, seq_len: int | None = None):
         T = seq_len or min(self.config.n_positions, 16)

@@ -22,6 +22,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from hessian_llm_vision_tpu.models.attention import causal_attention
+
 
 @dataclasses.dataclass(frozen=True)
 class LlamaConfig:
@@ -35,6 +37,9 @@ class LlamaConfig:
     rope_theta: float = 10000.0
     rms_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
+    # blockwise-attention query-block size (None = dense); models/attention.py
+    attn_block_q: int | None = None
+    attn_remat: bool = True
 
     @property
     def head_dim(self) -> int:
@@ -125,12 +130,9 @@ class LlamaAttention(nn.Module):
             rep = Hq // Hk
             k = jnp.repeat(k, rep, axis=2)
             v = jnp.repeat(v, rep, axis=2)
-        scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32))
-        att = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
-        mask = jnp.tril(jnp.ones((T, T), dtype=bool))
-        att = jnp.where(mask[None, None], att, jnp.finfo(jnp.float32).min)
-        att = jax.nn.softmax(att, axis=-1).astype(cfg.dtype)
-        y = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(B, T, Hq * D)
+        y = causal_attention(
+            q, k, v, block_q=cfg.attn_block_q, remat=cfg.attn_remat
+        ).reshape(B, T, Hq * D)
         return dense(C, "o_proj")(y)
 
 
@@ -172,7 +174,7 @@ class LlamaLMHead(nn.Module):
     config: LlamaConfig
 
     @nn.compact
-    def __call__(self, input_ids):
+    def __call__(self, input_ids, return_hidden=False):
         cfg = self.config
         emb = self.param(
             "embed_tokens",
@@ -184,10 +186,16 @@ class LlamaLMHead(nn.Module):
         for i in range(cfg.num_layers):
             x = LlamaBlock(cfg, name=f"layer_{i}")(x)
         x = RMSNorm(cfg.rms_eps, cfg.dtype, name="norm")(x)
+        if return_hidden:
+            return x
         logits = nn.Dense(
             cfg.vocab_size, use_bias=False, dtype=cfg.dtype, name="lm_head"
         )(x)  # untied head
         return logits.astype(jnp.float32)
+
+    def output_kernel(self, params):
+        """(C, V) output-projection matrix: ``logits = hidden @ kernel``."""
+        return params["lm_head"]["kernel"]
 
     def init_params(self, rng, batch_size: int = 1, seq_len: int | None = None):
         T = seq_len or min(self.config.max_position_embeddings, 16)

@@ -62,12 +62,78 @@ def causal_lm_loss(
     return -token_ll.mean()
 
 
-def lm_loss_fn(model, *, include_padding: bool = False) -> Callable[[Any, Any], jax.Array]:
-    """LM loss closure for GPT2LMHead / NeoXLMHead.
+def chunked_causal_lm_loss(
+    hidden: jax.Array,
+    out_kernel: jax.Array,
+    input_ids: jax.Array,
+    attention_mask: Optional[jax.Array] = None,
+    *,
+    chunk: int = 128,
+    include_padding: bool = False,
+    remat: bool = True,
+) -> jax.Array:
+    """Shifted next-token CE WITHOUT materializing the (B, T, V) logits.
+
+    ``hidden``: final pre-logit states (B, T, C); ``out_kernel``: (C, V)
+    with ``logits = hidden @ out_kernel`` (``model.output_kernel(params)``).
+    A ``lax.scan`` over sequence chunks computes each (B, chunk, V) logit
+    tile, reduces it to a CE partial sum, and (with ``remat``, default)
+    discards it — so under grad / jvp-of-grad only ``hidden`` is a
+    residual.  At GPT-2 124M bs16/seq512 this removes the ~1.6 GB f32
+    logits (plus their log_softmax and tangent copies) from the HVP
+    working set.  Numerically identical to :func:`causal_lm_loss` on the
+    dense logits (parity-tested <=1e-5, tests/unit/test_blockwise.py).
+    """
+    B, T, C = hidden.shape
+    h = hidden[:, :-1].astype(jnp.float32)
+    targets = input_ids[:, 1:]
+    if attention_mask is not None and not include_padding:
+        w = attention_mask[:, 1:].astype(jnp.float32)
+    else:
+        w = jnp.ones((B, T - 1), jnp.float32)
+    n = T - 1
+    chunk = min(chunk, n)
+    pad = (-n) % chunk
+    if pad:
+        h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+        targets = jnp.pad(targets, ((0, 0), (0, pad)))
+        w = jnp.pad(w, ((0, 0), (0, pad)))
+    nb = (n + pad) // chunk
+    hb = h.reshape(B, nb, chunk, C).transpose(1, 0, 2, 3)
+    tb = targets.reshape(B, nb, chunk).transpose(1, 0, 2)
+    wb = w.reshape(B, nb, chunk).transpose(1, 0, 2)
+    wk = out_kernel.astype(jnp.float32)
+
+    # per-chunk partial sums as scan OUTPUTS (no scalar carry): a carried
+    # scalar's vma type clashes with sharded inputs under shard_map
+    # (the shard_map scan-vma rule); stacked outputs sidestep it.
+    def body(carry, inp):
+        hc, tc, wc = inp
+        logits = hc @ wk  # (B, chunk, V)
+        logp = jax.nn.log_softmax(logits)
+        ll = jnp.take_along_axis(logp, tc[..., None], axis=-1).squeeze(-1)
+        return carry, (ll * wc).sum()
+
+    if remat:
+        body = jax.checkpoint(body)
+    _, partials = jax.lax.scan(body, None, (hb, tb, wb))
+    return -partials.sum() / jnp.maximum(w.sum(), 1.0)
+
+
+def lm_loss_fn(
+    model,
+    *,
+    include_padding: bool = False,
+    loss_chunk: Optional[int] = None,
+) -> Callable[[Any, Any], jax.Array]:
+    """LM loss closure for GPT2LMHead / NeoXLMHead / LlamaLMHead.
 
     ``batch`` is a dict with ``input_ids`` (B, T) and optional
     ``attention_mask``.  ``include_padding=True`` -> reference/HF
     ``labels=input_ids`` convention (loss over pad positions too).
+    ``loss_chunk``: compute the vocab projection + CE in sequence chunks
+    of this size via :func:`chunked_causal_lm_loss` (the memory-light
+    curvature configuration); ``None`` = dense logits.
     """
 
     def loss(params, batch):
@@ -79,7 +145,20 @@ def lm_loss_fn(model, *, include_padding: bool = False) -> Callable[[Any, Any], 
             include_padding=include_padding,
         )
 
-    return loss
+    def loss_chunked(params, batch):
+        hidden = model.apply(
+            {"params": params}, batch["input_ids"], return_hidden=True
+        )
+        return chunked_causal_lm_loss(
+            hidden,
+            model.output_kernel(params),
+            batch["input_ids"],
+            batch.get("attention_mask"),
+            chunk=loss_chunk,
+            include_padding=include_padding,
+        )
+
+    return loss_chunked if loss_chunk else loss
 
 
 def classification_loss_fn(

