@@ -45,18 +45,26 @@ def main() -> None:
     from hessian_llm_vision_tpu.data import random_token_batches
 
     # 32 sequences total (= wikipedia-simple subsample~1e-4) as 4 micro-batches
-    # of 8: the bs16 HVP + accumulation buffers exceed one chip's 16 GB HBM
-    # in f32 (logits alone are 1.6 GB per buffer at bs16/seq512/50k vocab)
+    # of 8.  Since round 3 the curvature path runs MEMORY-LIGHT: blockwise
+    # causal attention (scan over 256-query blocks, models/attention.py) and
+    # a chunked-vocab loss (losses.chunked_causal_lm_loss) — no (B,H,T,T)
+    # scores and no (B,T,V) logits in the HVP working set.  Measured on this
+    # chip: 1.77x faster than the dense path on the full 35-iter spectrum
+    # with identical Ritz values (4.732/-4.638), and the reference's own
+    # bs16 default (gpt2_savehessian.py:12-19) now fits one chip (bs32 OOMs).
     num_batches, batch_size, seq_len, iters = 4, 8, 512, 35
+    block_q = chunk = 256
 
     # f32 params with bf16x3 matmul precision (hvp_fn default "high"):
     # measured Ritz-identical to full-f32 within 2e-5 at 1.57x the speed.
     # Pure-bf16 compute dtype is broken for jvp-of-grad on this backend
     # (compiles 10x slower AND runs 40x slower at 124M).
-    cfg = GPT2Config.gpt2_124m(n_positions=seq_len, dtype=jnp.float32)
+    cfg = GPT2Config.gpt2_124m(
+        n_positions=seq_len, dtype=jnp.float32, attn_block_q=block_q
+    )
     model = GPT2LMHead(cfg)
     params = model.init_params(jax.random.PRNGKey(0), seq_len=seq_len)
-    loss_fn = losses.lm_loss_fn(model)
+    loss_fn = losses.lm_loss_fn(model, loss_chunk=chunk)
 
     data = random_token_batches(
         num_batches, batch_size, seq_len, cfg.vocab_size, seed=0
@@ -147,6 +155,33 @@ def main() -> None:
     ev, ga = spectrum(jax.random.PRNGKey(7))
     jax.block_until_ready(ev)
     wall = time.perf_counter() - t0
+
+    # ---- fast mode: single-pass-bf16 matmuls ("default" precision) ------
+    # 1.79x faster than the parity-grade bf16x3 run at ~2e-3 relative error
+    # on the extreme Ritz values (measured; fails the 1e-3 parity bar, so
+    # it is an OPT-IN mode: --hvp_precision default / --refresh_precision).
+    from hessian_llm_vision_tpu.krylov.driver import dataset_spectrum_host
+    from hessian_llm_vision_tpu.utils.flatten import Flattener as _Fl
+
+    fl_fast = _Fl(params)
+    v0_fast = jax.random.normal(jax.random.PRNGKey(7), (fl_fast.size,), jnp.float32)
+    batch_dicts = [{"input_ids": ids} for ids in batch_list]
+    res_fast = dataset_spectrum_host(  # warm/compile
+        loss_fn, params, batch_dicts, 2, v0=v0_fast, flattener=fl_fast,
+        precision="default",
+    )
+    import numpy as _np
+    _np.asarray(res_fast.alphas)
+    t0 = time.perf_counter()
+    res_fast = dataset_spectrum_host(
+        loss_fn, params, batch_dicts, iters, v0=v0_fast, flattener=fl_fast,
+        precision="default",
+    )
+    a_f = _np.asarray(res_fast.alphas)
+    b_f = _np.asarray(res_fast.betas)
+    wall_fast = time.perf_counter() - t0
+    T_f = _np.diag(a_f) + _np.diag(b_f, 1) + _np.diag(b_f, -1)
+    ev_fast = _np.linalg.eigvalsh(T_f)
 
     # ---- MFU accounting (analytic FLOPs + XLA cost analysis) -------------
     # Analytic per-HVP FLOPs: the fwd-over-rev HVP = jvp of (fwd+bwd); each
@@ -320,6 +355,18 @@ def main() -> None:
             "num_hvps": num_hvps,
             "batch_size": batch_size,
             "seq_len": seq_len,
+            "attn_block_q": block_q,
+            "loss_chunk": chunk,
+            "memory_light_note": "blockwise attention + chunked-vocab loss; "
+            "reference bs16 default now fits one chip (dense path 1.77x "
+            "slower, same Ritz values)",
+            "fast_mode_wallclock": round(wall_fast, 3),
+            "fast_mode_hvps_per_sec": round(num_hvps / wall_fast, 3),
+            "fast_mode_lambda_max": float(ev_fast[-1]),
+            "fast_mode_lambda_min": float(ev_fast[0]),
+            "fast_mode_note": "--hvp_precision default (1 bf16 MXU pass): "
+            "opt-in speed mode, ~2e-3 relative extreme-Ritz error vs the "
+            "parity-grade bf16x3 headline above",
             "lambda_max": float(ev[-1]),
             "lambda_min": float(ev[0]),
             "plain_step_sec": round(t_plain, 4),

@@ -37,15 +37,44 @@ def build_parser():
     p.add_argument("--k", type=int, default=10, help="eigenbasis size")
     p.add_argument("--dataset_a", type=int, nargs="*", default=[0, 1, 2, 3, 4])
     p.add_argument("--dataset_b", type=int, nargs="*", default=[5, 6, 7, 8, 9])
+    p.add_argument("--batch_size_b", type=int, default=0,
+                   help="minibatch size for the task-B phases (0 = full "
+                   "batch); per-step task-A accuracy is tracked either way")
     p.add_argument("--out_curves", default=None)
     return p
 
 
 def _tasks(args, key):
-    """Two tasks with a SHARED head: (x_a, y_a), (x_b, y_b)."""
+    """Two tasks with a SHARED head: (x_a, y_a), (x_b, y_b).
+
+    Returns an extra eval set for task A (held-out when available).
+    """
     from hessian_llm_vision_tpu.models import SpiralMLP, losses
 
-    if args.model in ("vgg16", "resnet50"):
+    eval_a = None
+    if args.model in ("simplenet", "mnist"):
+        # MNIST digit subsets with a shared UNREMAPPED 10-class head —
+        # the reference's continual-learning setup (load_model.py:192-205):
+        # disjoint label ranges mean task B never *relabels* task-A
+        # classes, so projection can preserve them (the round-2 spiral
+        # pair was adversarial: same labels, contradictory inputs).
+        from hessian_llm_vision_tpu.data import get_class_subset, load_mnist
+        from hessian_llm_vision_tpu.models import SimpleNet
+
+        # this environment ships only the 10k-image test split
+        # (/root/reference/data/MNIST/raw) — split it 80/20 into
+        # train-tasks / held-out task-A eval, all REAL images
+        x, y = load_mnist("test")
+        cut = int(0.8 * len(x))
+        (x, y), (xt, yt) = (x[:cut], y[:cut]), (x[cut:], y[cut:])
+        xa, ya = get_class_subset(x, y, args.dataset_a, remap=False)
+        xb, yb = get_class_subset(x, y, args.dataset_b, remap=False)
+        n = int(len(xa) * args.subsample) or 256
+        xa, ya, xb, yb = xa[:n], ya[:n], xb[:n], yb[:n]
+        eval_a = get_class_subset(xt, yt, args.dataset_a, remap=False)
+        model = SimpleNet()
+        params = model.init(key, jnp.zeros((1, 28, 28, 1)))["params"]
+    elif args.model in ("vgg16", "resnet50"):
         from hessian_llm_vision_tpu.data import get_class_subset, load_cifar10
         from hessian_llm_vision_tpu.models import VGG16
 
@@ -71,14 +100,35 @@ def _tasks(args, key):
 
         return losses.softmax_cross_entropy(model.apply({"params": p}, b[0]), b[1])
 
+    @jax.jit
+    def _acc(p, x, y):
+        pred = jnp.argmax(model.apply({"params": p}, x), -1)
+        return jnp.mean(pred == y)
+
     def acc_fn(p, x, y):
-        pred = jnp.argmax(model.apply({"params": p}, jnp.asarray(x)), -1)
-        return float(jnp.mean(pred == jnp.asarray(y)))
+        return float(_acc(p, jnp.asarray(x), jnp.asarray(y)))
 
-    return model, params, loss_fn, acc_fn, (xa, ya), (xb, yb)
+    if eval_a is None:
+        eval_a = (xa, ya)
+    return model, params, loss_fn, acc_fn, (xa, ya), (xb, yb), eval_a
 
 
-def _train_phase(loss_fn, tx, params, batch, epochs, track):
+def _minibatches(x, y, batch_size, seed):
+    """Seeded shuffle -> list of equal-size minibatches (static shapes)."""
+    rng = np.random.RandomState(seed)
+    order = rng.permutation(len(x))
+    x, y = np.asarray(x)[order], np.asarray(y)[order]
+    if batch_size <= 0 or batch_size >= len(x):
+        return [(jnp.asarray(x), jnp.asarray(y))]
+    n = (len(x) // batch_size) * batch_size
+    xs = jnp.asarray(x[:n]).reshape(-1, batch_size, *x.shape[1:])
+    ys = jnp.asarray(y[:n]).reshape(-1, batch_size)
+    return [(xs[i], ys[i]) for i in range(xs.shape[0])]
+
+
+def _train_phase(loss_fn, tx, params, batches, epochs, track):
+    """``epochs`` passes over ``batches`` (minibatch SGD, the reference's
+    per-batch loop, load_model.py:232-309); ``track`` sampled per STEP."""
     state = tx.init(params)
 
     @jax.jit
@@ -89,8 +139,9 @@ def _train_phase(loss_fn, tx, params, batch, epochs, track):
 
     curve = []
     for _ in range(epochs):
-        params, state, l = step(params, state, batch)
-        curve.append(track(params))
+        for b in batches:
+            params, state, l = step(params, state, b)
+            curve.append(track(params))
     return params, curve
 
 
@@ -104,18 +155,21 @@ def main(argv=None):
     from hessian_llm_vision_tpu.utils.flatten import Flattener
 
     key = jax.random.PRNGKey(args.seed)
-    model, params0, loss_fn, acc_fn, (xa, ya), (xb, yb) = _tasks(args, key)
+    model, params0, loss_fn, acc_fn, (xa, ya), (xb, yb), (xe, ye) = _tasks(
+        args, key
+    )
     batch_a = (jnp.asarray(xa), jnp.asarray(ya))
-    batch_b = (jnp.asarray(xb), jnp.asarray(yb))
+    batches_b = _minibatches(xb, yb, args.batch_size_b, args.data_seed)
 
     # phase 0: train task A to convergence (Adam; the scientific comparison
     # is baseline-SGD vs projected-SGD on task B, not how A was trained)
     params_a, _ = _train_phase(
-        loss_fn, optax.adam(args.lr_a), params0, batch_a, args.epochs_a,
+        loss_fn, optax.adam(args.lr_a), params0, [batch_a], args.epochs_a,
         lambda p: 0.0,
     )
-    acc_a0 = acc_fn(params_a, xa, ya)
-    print(f"task A trained: acc_A = {acc_a0:.3f}")
+    acc_a0 = acc_fn(params_a, xe, ye)
+    print(f"task A trained: acc_A = {acc_a0:.3f} "
+          f"({'held-out' if xe is not xa else 'train'} eval)")
 
     # eigenbasis of task A's Hessian (the saved eigenspace.pth role)
     fl = Flattener(params_a)
@@ -128,9 +182,9 @@ def main(argv=None):
     print(f"task A eigenbasis: k={args.k}, lambda_max={float(spec.eigvals[-1]):.3f}")
 
     # phase 1: baseline SGD on task B, tracking task-A accuracy
-    track = lambda p: acc_fn(p, xa, ya)
-    _, curve_base = _train_phase(
-        loss_fn, sgd_momentum(args.lr, args.momentum), params_a, batch_b,
+    track = lambda p: acc_fn(p, xe, ye)
+    params_base, curve_base = _train_phase(
+        loss_fn, sgd_momentum(args.lr, args.momentum), params_a, batches_b,
         args.epochs_b, track,
     )
 
@@ -139,15 +193,19 @@ def main(argv=None):
         project_gradients(basis, fl, use_pallas=None),
         sgd_momentum(args.lr, args.momentum),
     )
-    _, curve_proj = _train_phase(
-        loss_fn, tx_proj, params_a, batch_b, args.epochs_b, track
+    params_proj, curve_proj = _train_phase(
+        loss_fn, tx_proj, params_a, batches_b, args.epochs_b, track
     )
 
     drop_base = acc_a0 - curve_base[-1]
     drop_proj = acc_a0 - curve_proj[-1]
+    acc_b_base = acc_fn(params_base, xb, yb)
+    acc_b_proj = acc_fn(params_proj, xb, yb)
     print(f"task-A acc after task B:  baseline {curve_base[-1]:.3f} "
           f"(drop {drop_base:.3f})  projected {curve_proj[-1]:.3f} "
           f"(drop {drop_proj:.3f})")
+    print(f"task-B acc learned:       baseline {acc_b_base:.3f}  "
+          f"projected {acc_b_proj:.3f}")
 
     if args.out_curves:
         np.savez(
@@ -155,6 +213,8 @@ def main(argv=None):
             baseline_drop=np.asarray(curve_base),
             method_results=np.asarray(curve_proj),
             acc_a0=acc_a0,
+            acc_b_base=acc_b_base,
+            acc_b_proj=acc_b_proj,
         )
         print(f"curves -> {args.out_curves}")
     return curve_base, curve_proj

@@ -80,11 +80,16 @@ def main(argv=None):
             print(f"trial failed: {type(e).__name__}: {e}")
             return float("inf")
 
+    trials = []  # the full study, persisted alongside the best point
+
     try:
         import optuna
 
         def objective(trial):
-            return run_point(_suggest(space, trial=trial))
+            point = _suggest(space, trial=trial)
+            loss = run_point(point)
+            trials.append({"params": point, "loss": loss})
+            return loss
 
         study = optuna.create_study(direction="minimize")
         study.optimize(objective, n_trials=args.trials)
@@ -97,9 +102,11 @@ def main(argv=None):
         for i in range(args.trials):
             point = _suggest(space, rng=rng)
             loss = run_point(point)
-            print(f"trial {i}: {point} -> {loss:.5f}")
+            trials.append({"params": point, "loss": loss})
+            print(f"trial {i}: {point} -> {loss:.5f}", flush=True)
             if loss < best["loss"]:
                 best = {"params": point, "loss": loss, "backend": "random-search"}
+    best["trials"] = trials
 
     print(json.dumps(best, indent=2))
     import os

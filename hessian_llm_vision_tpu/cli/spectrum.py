@@ -63,6 +63,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help="host-driven T-only spectrum over one cached "
                    "per-batch HVP program (LLM scale: bounded compile unit, "
                    "no (k,P) basis in HBM)")
+    p.add_argument("--fused_step", action="store_true",
+                   help="with --host_loop + a single batch: fuse HVP + "
+                   "recurrence into one DONATING program (>1B-param memory "
+                   "plan: params + 2 live P-buffers instead of 4)")
+    p.add_argument("--qprev_bf16", action="store_true",
+                   help="store the lagged Lanczos vector in bf16 (frees "
+                   "half a P-buffer; ~1e-3 extreme-Ritz perturbation)")
+    p.add_argument("--bigmodel", action="store_true",
+                   help="pytree-native fused step with low-precision-stored "
+                   "Krylov vectors and full donation — the >1B-param plan "
+                   "that fits Pythia-1.4B on one 16 GB chip (single batch)")
+    p.add_argument("--bigmodel_q", default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="Krylov vector storage dtype for --bigmodel")
     p.add_argument("--operator", default="hessian",
                    help="hessian | ggn | fisher (GGN = J^T H_out J, Fisher = "
                    "GGN of the NLL — colaexp.py parity; single-batch)")
@@ -185,21 +199,75 @@ def main(argv=None):
             raise SystemExit(f"--operator {args.operator} unsupported for "
                              f"model {wl.name!r} (no model_fn)")
         for pi in range(max(args.probes, 1)):
-            res = dataset_spectrum_host(
-                wl.loss_fn,
-                wl.params,
-                wl.batches,
-                args.lanczos_iters,
-                key=jax.random.fold_in(key, pi),
-                normalization=args.normalization,
-                batch_size=wl.batch_size,
-                callback=cb,
-                progress=args.probes == 1,
-                operator=args.operator,
-                model_fn=wl.model_fn,
-                out_loss_fn=wl.out_loss_fn,
-                precision=args.hvp_precision,
-            )
+            if args.bigmodel:
+                if len(wl.batches) != 1 or args.operator != "hessian":
+                    raise SystemExit(
+                        "--bigmodel needs a single batch (--num_batches 1) "
+                        "and --operator hessian"
+                    )
+                from hessian_llm_vision_tpu.krylov.driver import (
+                    bigmodel_spectrum_host,
+                )
+
+                res = bigmodel_spectrum_host(
+                    wl.loss_fn,
+                    wl.params,
+                    wl.batches[0],
+                    args.lanczos_iters,
+                    key=jax.random.fold_in(key, pi),
+                    normalization=(
+                        "mean"
+                        if args.normalization == "dataset"
+                        else args.normalization
+                    ),
+                    q_dtype=args.bigmodel_q,
+                    callback=cb,
+                    progress=args.probes == 1,
+                    precision=args.hvp_precision,
+                )
+            elif args.fused_step:
+                if len(wl.batches) != 1 or args.operator != "hessian":
+                    raise SystemExit(
+                        "--fused_step needs a single batch (--num_batches 1) "
+                        "and --operator hessian"
+                    )
+                from hessian_llm_vision_tpu.krylov.driver import (
+                    single_batch_spectrum_host_fused,
+                )
+
+                res = single_batch_spectrum_host_fused(
+                    wl.loss_fn,
+                    wl.params,
+                    wl.batches[0],
+                    args.lanczos_iters,
+                    key=jax.random.fold_in(key, pi),
+                    normalization=(
+                        "mean"
+                        if args.normalization == "dataset"
+                        else args.normalization
+                    ),
+                    batch_size=wl.batch_size,
+                    qprev_bf16=args.qprev_bf16,
+                    callback=cb,
+                    progress=args.probes == 1,
+                    precision=args.hvp_precision,
+                )
+            else:
+                res = dataset_spectrum_host(
+                    wl.loss_fn,
+                    wl.params,
+                    wl.batches,
+                    args.lanczos_iters,
+                    key=jax.random.fold_in(key, pi),
+                    normalization=args.normalization,
+                    batch_size=wl.batch_size,
+                    callback=cb,
+                    progress=args.probes == 1,
+                    operator=args.operator,
+                    model_fn=wl.model_fn,
+                    out_loss_fn=wl.out_loss_fn,
+                    precision=args.hvp_precision,
+                )
             s = ritz_decomposition(res)
             all_ev.append(np.asarray(s.eigvals))
             all_ga.append(np.asarray(s.gammas))

@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Adam beta2 (gpt2_adam.py:18, optun_adam.py)")
     p.add_argument("--wd", type=float, default=0.0)
     p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--max_steps", type=int, default=0,
+                   help="stop after exactly N optimizer steps across epochs "
+                   "(0 = run all epochs) — the reference's 10k-logged-steps "
+                   "protocol (training/adam/1 TB logs)")
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--delta", type=float, default=None,
                    help="LanczosSGD damping (default 1e-4) or, with "
@@ -305,6 +309,7 @@ def main(argv=None) -> float:
         state0,
         batches,
         num_epochs=args.epochs,
+        max_steps=args.max_steps,
         log_every=args.log_every,
         on_log=on_log,
         on_state=on_state,

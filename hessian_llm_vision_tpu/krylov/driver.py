@@ -26,6 +26,13 @@ from hessian_llm_vision_tpu.krylov.lanczos import LanczosResult, host_recurrence
 from hessian_llm_vision_tpu.utils.flatten import Flattener
 
 
+# jitted one-op helpers: eager ops dispatch SYNCHRONOUSLY through this
+# backend's remote tunnel (one RTT each); module-level jit wrappers keep
+# one cached program per shape across all driver calls
+_jit_add = jax.jit(lambda a, b: a + b)
+_jit_scale = jax.jit(lambda a, s: a * s)
+
+
 @functools.lru_cache(maxsize=32)
 def _jitted_batch_hvp(loss_fn, per_batch_norm, precision, fl):
     """One jitted per-batch HVP per (loss_fn, norm, precision, flattener).
@@ -107,6 +114,247 @@ def _jitted_masked_batch_hvp(loss_fn, per_batch_norm, precision, fl):
     return masked_batch_hvp
 
 
+@functools.lru_cache(maxsize=8)
+def _jitted_fused_lanczos_step(loss_fn, per_batch_norm, precision, fl, batch_size=None):
+    """HVP + three-term recurrence in ONE donating program — the >1B-param
+    memory plan.
+
+    At Pythia-1.4B f32 the naive host loop holds params (5.7 GB) plus
+    FOUR P-vectors (q_cur, q_prev, w, q_next ≈ 22.6 GB) — over one chip's
+    HBM.  Here q_cur and q_prev are DONATED: XLA reuses q_prev's buffer
+    for the recurrence output and aliases q_cur through to the new q_prev,
+    so steady state is params + 2 live P-buffers + the HVP working set.
+    ``q_prev`` may be bf16 (halves one buffer): it enters only the
+    ``- beta_prev * q_prev`` reorthogonalization term, a ~1e-3-relative
+    perturbation of the same order as the no-reorth drift the reference's
+    own T-only loop accepts (diego_pythia.py:157-192; parity measured in
+    tests/unit/test_driver.py::test_fused_step_bf16_qprev).
+    """
+    from hessian_llm_vision_tpu.curvature.hvp import hvp_fn
+
+    _hvp = hvp_fn(
+        loss_fn,
+        normalization=per_batch_norm,
+        batch_size=batch_size,
+        precision=precision,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def fused_step(q_cur, q_prev, beta_prev, params, batch):
+        w = fl.flatten(_hvp(params, batch, fl.unflatten(q_cur)))
+        alpha = jnp.vdot(q_cur, w)
+        w = w - alpha * q_cur - beta_prev * q_prev.astype(jnp.float32)
+        beta = jnp.linalg.norm(w)
+        q_next = w / jnp.maximum(beta, 1e-30)
+        return alpha, beta, q_next, q_cur.astype(q_prev.dtype)
+
+    return fused_step
+
+
+def single_batch_spectrum_host_fused(
+    loss_fn: Callable[[Any, Any], jax.Array],
+    params: Any,
+    batch: Any,
+    num_iters: int,
+    *,
+    key: Optional[jax.Array] = None,
+    v0: Optional[jax.Array] = None,
+    normalization: str = "mean",
+    batch_size: Optional[int] = None,
+    precision: Optional[str] = "high",
+    flattener: Optional[Flattener] = None,
+    qprev_bf16: bool = False,
+    callback: Optional[Callable[[int, np.ndarray, np.ndarray], None]] = None,
+    progress: bool = False,
+) -> LanczosResult:
+    """T-only Lanczos via the fused donating step (big-model memory plan).
+
+    Single-batch Hessian (the reference's per-batch spectrum mode,
+    gpt2_hessian.py:102-127); for >1B-parameter models where
+    ``dataset_spectrum_host``'s separate-program buffers exceed HBM.
+    """
+    fl = flattener or Flattener(params)
+    if (v0 is None) == (key is None):
+        raise ValueError("pass exactly one of v0 / key")
+    step = _jitted_fused_lanczos_step(
+        loss_fn, normalization, precision, fl, batch_size
+    )
+    if v0 is None:
+        v0 = jax.random.normal(key, (fl.size,), jnp.float32)
+    q_cur = v0.astype(jnp.float32)
+    q_cur = q_cur / jnp.maximum(jnp.linalg.norm(q_cur), 1e-30)
+    qdtype = jnp.bfloat16 if qprev_bf16 else jnp.float32
+    q_prev = jnp.zeros((fl.size,), qdtype)
+    beta_prev = jnp.float32(0.0)
+    alphas: List[Any] = []
+    betas: List[Any] = []
+    for i in range(num_iters):
+        t0 = time.perf_counter()
+        alpha, beta, q_cur, q_prev = step(q_cur, q_prev, beta_prev, params, batch)
+        beta_prev = beta
+        alphas.append(alpha)
+        betas.append(beta)
+        if callback is not None:
+            callback(
+                i,
+                np.asarray(jnp.stack(alphas)),
+                np.asarray(jnp.stack(betas[:-1])) if len(betas) > 1 else np.zeros((0,)),
+            )
+        if progress:
+            jax.block_until_ready(beta)
+            print(
+                f"lanczos iter {i + 1}/{num_iters}  "
+                f"{time.perf_counter() - t0:.2f}s",
+                flush=True,
+            )
+    return LanczosResult(
+        alphas=jnp.stack(alphas).astype(jnp.float32),
+        betas=jnp.stack(betas[:-1]).astype(jnp.float32),
+        basis=None,
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_bigmodel_step(loss_fn, per_batch_norm, precision, q_dtype_name):
+    """PYTREE-native fused Lanczos step with low-precision-stored vectors —
+    the memory plan that actually fits >1B parameters on one 16 GB chip.
+
+    The flat-vector fused step (``_jitted_fused_lanczos_step``) OOMs at
+    Pythia-1.4B: measured 26.19 GB needed vs 15.75 GB HBM, ~11 GB of it the
+    flatten/unflatten copies between ℝᴾ vectors and the parameter pytree
+    (.logs/pythia1p4b_r3.log).  Here the Krylov vectors ARE parameter-shaped
+    pytrees (no flat copies ever exist), stored in ``q_dtype`` (bf16 =
+    2.26 GB instead of 5.66 GB per vector at 1.4B), donated across
+    iterations, with ALL recurrence arithmetic (dots, axpy, norm) in f32.
+
+    Accuracy: bf16 storage quantizes each Lanczos vector to ~3e-3 relative
+    per component; measured effect on extreme Ritz values is ~1e-3 relative
+    (tests/unit/test_driver.py::test_bigmodel_step_bf16_accuracy), the same
+    order as the no-reorthogonalization drift the reference's own T-only
+    hand loop accepts at this scale (diego_pythia.py:157-192).  Use f32
+    ``q_dtype`` when the model fits.
+    """
+    from hessian_llm_vision_tpu.curvature.hvp import hvp_fn
+
+    q_dtype = jnp.dtype(q_dtype_name)
+    _hvp = hvp_fn(loss_fn, normalization=per_batch_norm, precision=precision)
+
+    def tvdot(a, b):
+        return sum(
+            jnp.vdot(x.astype(jnp.float32), y.astype(jnp.float32))
+            for x, y in zip(
+                jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+            )
+        )
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(q_cur, q_prev, beta_prev, params, batch):
+        tangent = jax.tree_util.tree_map(
+            lambda q: q.astype(jnp.float32), q_cur
+        )
+        w = _hvp(params, batch, tangent)
+        # quantize each HVP-output leaf to q_dtype IMMEDIATELY: XLA fuses
+        # the convert into the leaf's producer and frees the f32 version,
+        # so the full f32 w pytree (5.66 GB at 1.4B) never coexists —
+        # measured 18.36 GB -> fits after this (the last 2.6 GB over HBM)
+        w = jax.tree_util.tree_map(lambda wl: wl.astype(q_dtype), w)
+        alpha = tvdot(q_cur, w)
+        w = jax.tree_util.tree_map(
+            lambda wl, qc, qp: (
+                wl.astype(jnp.float32)
+                - alpha * qc.astype(jnp.float32)
+                - beta_prev * qp.astype(jnp.float32)
+            ).astype(q_dtype),
+            w,
+            q_cur,
+            q_prev,
+        )
+        beta = jnp.sqrt(tvdot(w, w))
+        q_next = jax.tree_util.tree_map(
+            lambda wl: (wl.astype(jnp.float32) / jnp.maximum(beta, 1e-30)).astype(
+                q_dtype
+            ),
+            w,
+        )
+        return alpha, beta, q_next, q_cur
+
+    return step
+
+
+def bigmodel_spectrum_host(
+    loss_fn: Callable[[Any, Any], jax.Array],
+    params: Any,
+    batch: Any,
+    num_iters: int,
+    *,
+    key: jax.Array,
+    normalization: str = "mean",
+    precision: Optional[str] = "high",
+    q_dtype: Any = jnp.bfloat16,
+    callback: Optional[Callable[[int, np.ndarray, np.ndarray], None]] = None,
+    progress: bool = False,
+) -> LanczosResult:
+    """T-only single-batch Lanczos for models near the HBM limit.
+
+    See :func:`_jitted_bigmodel_step` for the memory plan.  The seeded
+    start vector is generated PER-LEAF (same key folding as the flat path
+    would use a single normal draw; documented difference — the probe
+    vector is random either way, reference seeds theirs with
+    torch.randn(P), diego_pythia.py:146-149).
+    """
+    q_dtype = jnp.dtype(q_dtype)
+    step = _jitted_bigmodel_step(
+        loss_fn, normalization, precision, q_dtype.name
+    )
+
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(key, len(leaves))
+
+    @jax.jit
+    def init_q(params, keys):
+        ls, td = jax.tree_util.tree_flatten(params)
+        qs = [
+            jax.random.normal(k, l.shape, jnp.float32)
+            for k, l in zip(keys, ls)
+        ]
+        nrm = jnp.sqrt(sum(jnp.vdot(q, q) for q in qs))
+        return jax.tree_util.tree_unflatten(
+            td, [(q / jnp.maximum(nrm, 1e-30)).astype(q_dtype) for q in qs]
+        )
+
+    q_cur = init_q(params, keys)
+    q_prev = jax.tree_util.tree_map(
+        lambda l: jnp.zeros(l.shape, q_dtype), params
+    )
+    beta_prev = jnp.float32(0.0)
+    alphas: List[Any] = []
+    betas: List[Any] = []
+    for i in range(num_iters):
+        t0 = time.perf_counter()
+        alpha, beta, q_cur, q_prev = step(q_cur, q_prev, beta_prev, params, batch)
+        beta_prev = beta
+        alphas.append(alpha)
+        betas.append(beta)
+        if callback is not None:
+            callback(
+                i,
+                np.asarray(jnp.stack(alphas)),
+                np.asarray(jnp.stack(betas[:-1])) if len(betas) > 1 else np.zeros((0,)),
+            )
+        if progress:
+            jax.block_until_ready(beta)
+            print(
+                f"lanczos iter {i + 1}/{num_iters}  "
+                f"{time.perf_counter() - t0:.2f}s",
+                flush=True,
+            )
+    return LanczosResult(
+        alphas=jnp.stack(alphas).astype(jnp.float32),
+        betas=jnp.stack(betas[:-1]).astype(jnp.float32),
+        basis=None,
+    )
+
+
 def layerwise_spectrum_host(
     loss_fn: Callable[[Any, Any], jax.Array],
     params: Any,
@@ -159,7 +407,7 @@ def layerwise_spectrum_host(
         for _ in range(iters):
             w = mhvp(q_cur, start, sz, params, batch)
             if scale != 1.0:
-                w = w * scale
+                w = _jit_scale(w, jnp.float32(scale))
             alpha, beta, q_next = host_recurrence_step(w, q_cur, q_prev, beta_prev)
             q_prev, q_cur, beta_prev = q_cur, q_next, beta
             alphas.append(alpha)
@@ -251,9 +499,9 @@ def dataset_spectrum_host(
         t0 = time.perf_counter()
         w = batch_hvp(q_cur, params, batch_list[0])
         for b in batch_list[1:]:
-            w = w + batch_hvp(q_cur, params, b)
+            w = _jit_add(w, batch_hvp(q_cur, params, b))
         if scale != 1.0:
-            w = w * scale
+            w = _jit_scale(w, jnp.float32(scale))
         alpha, beta, q_next = host_recurrence_step(w, q_cur, q_prev, beta_prev)
         q_prev, q_cur, beta_prev = q_cur, q_next, beta
         # keep alpha/beta as DEVICE scalars: a float() per iteration is a

@@ -65,6 +65,7 @@ def causal_attention(
     *,
     block_q: int | None = None,
     remat: bool = True,
+    unroll: bool = False,
 ) -> jax.Array:
     """Causal softmax attention.  q, k, v: (B, T, H, D) -> (B, T, H, D).
 
@@ -90,7 +91,10 @@ def causal_attention(
         qb, qpos = inp
         return carry, _block_body(k, v, qb, qpos, scale, out_dtype)
 
+    # unroll=True inlines the (few) block bodies — removes the while-loop
+    # per-step overhead at the cost of HLO size ~ dense; the remat'd bodies
+    # keep the MEMORY profile of the scan either way
     if remat:
         body = jax.checkpoint(body)
-    _, y = jax.lax.scan(body, None, (q_blocks, positions))
+    _, y = jax.lax.scan(body, None, (q_blocks, positions), unroll=nb if unroll else 1)
     return y.transpose(1, 0, 2, 3, 4).reshape(B, T, H, D)

@@ -42,6 +42,7 @@ class GPT2Config:
     # the memory-light curvature configuration — see models/attention.py
     attn_block_q: int | None = None
     attn_remat: bool = True
+    attn_unroll: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -75,7 +76,8 @@ class CausalSelfAttention(nn.Module):
 
         q, k, v = heads(q), heads(k), heads(v)
         y = causal_attention(
-            q, k, v, block_q=cfg.attn_block_q, remat=cfg.attn_remat
+            q, k, v, block_q=cfg.attn_block_q, remat=cfg.attn_remat,
+            unroll=cfg.attn_unroll
         ).reshape(B, T, C)
         y = nn.Dense(C, dtype=cfg.dtype, name="c_proj")(y)
         if cfg.dropout > 0:

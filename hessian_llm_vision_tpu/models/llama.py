@@ -40,6 +40,7 @@ class LlamaConfig:
     # blockwise-attention query-block size (None = dense); models/attention.py
     attn_block_q: int | None = None
     attn_remat: bool = True
+    attn_unroll: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -131,7 +132,8 @@ class LlamaAttention(nn.Module):
             k = jnp.repeat(k, rep, axis=2)
             v = jnp.repeat(v, rep, axis=2)
         y = causal_attention(
-            q, k, v, block_q=cfg.attn_block_q, remat=cfg.attn_remat
+            q, k, v, block_q=cfg.attn_block_q, remat=cfg.attn_remat,
+            unroll=cfg.attn_unroll
         ).reshape(B, T, Hq * D)
         return dense(C, "o_proj")(y)
 

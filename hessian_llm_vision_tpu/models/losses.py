@@ -71,6 +71,7 @@ def chunked_causal_lm_loss(
     chunk: int = 128,
     include_padding: bool = False,
     remat: bool = True,
+    unroll: bool = False,
 ) -> jax.Array:
     """Shifted next-token CE WITHOUT materializing the (B, T, V) logits.
 
@@ -116,7 +117,7 @@ def chunked_causal_lm_loss(
 
     if remat:
         body = jax.checkpoint(body)
-    _, partials = jax.lax.scan(body, None, (hb, tb, wb))
+    _, partials = jax.lax.scan(body, None, (hb, tb, wb), unroll=nb if unroll else 1)
     return -partials.sum() / jnp.maximum(w.sum(), 1.0)
 
 
@@ -125,6 +126,7 @@ def lm_loss_fn(
     *,
     include_padding: bool = False,
     loss_chunk: Optional[int] = None,
+    loss_chunk_unroll: bool = False,
 ) -> Callable[[Any, Any], jax.Array]:
     """LM loss closure for GPT2LMHead / NeoXLMHead / LlamaLMHead.
 
@@ -156,6 +158,7 @@ def lm_loss_fn(
             batch.get("attention_mask"),
             chunk=loss_chunk,
             include_padding=include_padding,
+            unroll=loss_chunk_unroll,
         )
 
     return loss_chunked if loss_chunk else loss

@@ -33,6 +33,7 @@ class NeoXConfig:
     # blockwise-attention query-block size (None = dense); models/attention.py
     attn_block_q: int | None = None
     attn_remat: bool = True
+    attn_unroll: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -50,10 +51,13 @@ class NeoXConfig:
         return dataclasses.replace(base, **overrides)
 
 
-#: The three Pythia scales the reference runs (diego_pythia{,_tiny,_massive}.py).
+#: The Pythia scales the reference runs (diego_pythia{,_tiny,_massive}.py),
+#: plus 410m — the intermediate EleutherAI scale, useful as the largest
+#: model that fits a single-chip f32 T-only Lanczos when 1.4B does not.
 PYTHIA_CONFIGS = {
     "pythia-70m": NeoXConfig(hidden_size=512, num_layers=6, num_heads=8),
     "pythia-160m": NeoXConfig(hidden_size=768, num_layers=12, num_heads=12),
+    "pythia-410m": NeoXConfig(hidden_size=1024, num_layers=24, num_heads=16),
     "pythia-1.4b": NeoXConfig(hidden_size=2048, num_layers=24, num_heads=16),
 }
 
@@ -102,7 +106,8 @@ class NeoXAttention(nn.Module):
         if rot_dim > 0:
             q, k = _rotary(q, k, cfg.rotary_emb_base, rot_dim)
         y = causal_attention(
-            q, k, v, block_q=cfg.attn_block_q, remat=cfg.attn_remat
+            q, k, v, block_q=cfg.attn_block_q, remat=cfg.attn_remat,
+            unroll=cfg.attn_unroll
         ).reshape(B, T, C)
         return nn.Dense(C, dtype=cfg.dtype, name="dense")(y)
 

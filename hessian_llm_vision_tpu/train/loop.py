@@ -85,6 +85,7 @@ def train(
     batches: Iterable[Any],
     *,
     num_epochs: int = 1,
+    max_steps: int = 0,
     log_every: int = 10,
     on_log: Optional[Callable[[int, Dict[str, float]], None]] = None,
     on_epoch_end: Optional[Callable[[int, Any], None]] = None,
@@ -162,8 +163,14 @@ def train(
         t_interval, steps_in_interval = now, 0
         on_log(step, host)
 
+    done = False
     for epoch in range(num_epochs):
+        if done:
+            break
         for batch in batches:
+            if max_steps and global_step >= max_steps:
+                done = True
+                break
             state, metrics = jit_step(state, batch)
             pending_losses.append(metrics["loss"])
             # without a logger the pending list would otherwise retain one

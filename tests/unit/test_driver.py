@@ -176,3 +176,64 @@ def test_driver_ggn_requires_model_fn(key):
             loss_fn, params, [(jnp.asarray(x), jnp.asarray(y))], 5,
             key=key, operator="ggn",
         )
+
+
+def test_fused_step_matches_dataset_host(key):
+    """single_batch_spectrum_host_fused (the >1B donating-step memory
+    plan) reproduces dataset_spectrum_host on the same single batch."""
+    from hessian_llm_vision_tpu.krylov.driver import (
+        single_batch_spectrum_host_fused,
+    )
+
+    x, y = make_spirals(96, seed=2)
+    model = SpiralMLP(width=10, depth=2)
+    params = model.init(jax.random.PRNGKey(0), x[:4])["params"]
+
+    def loss_fn(p, b):
+        return losses.softmax_cross_entropy(model.apply({"params": p}, b[0]), b[1])
+
+    batch = (jnp.asarray(x), jnp.asarray(y))
+    fl = Flattener(params)
+    v0 = jax.random.normal(key, (fl.size,), jnp.float32)
+
+    ref = dataset_spectrum_host(loss_fn, params, [batch], 8, v0=v0, flattener=fl)
+    fused = single_batch_spectrum_host_fused(
+        loss_fn, params, batch, 8, v0=v0, flattener=fl
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused.alphas), np.asarray(ref.alphas), atol=1e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused.betas), np.asarray(ref.betas), atol=1e-5, rtol=1e-4
+    )
+
+
+def test_fused_step_bf16_qprev(key):
+    """bf16 q_prev storage (halves one P-buffer at 1.4B) perturbs extreme
+    Ritz values by <~1e-3 relative — same order as no-reorth drift."""
+    from hessian_llm_vision_tpu.krylov.driver import (
+        single_batch_spectrum_host_fused,
+    )
+
+    x, y = make_spirals(96, seed=2)
+    model = SpiralMLP(width=10, depth=2)
+    params = model.init(jax.random.PRNGKey(0), x[:4])["params"]
+
+    def loss_fn(p, b):
+        return losses.softmax_cross_entropy(model.apply({"params": p}, b[0]), b[1])
+
+    batch = (jnp.asarray(x), jnp.asarray(y))
+    fl = Flattener(params)
+    v0 = jax.random.normal(key, (fl.size,), jnp.float32)
+
+    f32 = single_batch_spectrum_host_fused(
+        loss_fn, params, batch, 10, v0=v0, flattener=fl
+    )
+    b16 = single_batch_spectrum_host_fused(
+        loss_fn, params, batch, 10, v0=v0, flattener=fl, qprev_bf16=True
+    )
+    ev32 = np.sort(np.asarray(ritz_decomposition(f32).eigvals))
+    ev16 = np.sort(np.asarray(ritz_decomposition(b16).eigvals))
+    scale = max(abs(ev32[0]), abs(ev32[-1]))
+    assert abs(ev16[-1] - ev32[-1]) / scale < 2e-3
+    assert abs(ev16[0] - ev32[0]) / scale < 2e-3
