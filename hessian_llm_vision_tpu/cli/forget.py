@@ -40,6 +40,23 @@ def build_parser():
     p.add_argument("--batch_size_b", type=int, default=0,
                    help="minibatch size for the task-B phases (0 = full "
                    "batch); per-step task-A accuracy is tracked either way")
+    p.add_argument("--task_b", default="classes",
+                   choices=["classes", "noisy", "permuted"],
+                   help="MNIST task-B construction: 'classes' = the digit "
+                   "subset --dataset_b (reference pair; NOTE: measured "
+                   "across ~15 k/lr/momentum/schedule configs, Hessian-"
+                   "eigenbasis projection gives NO sustained protection "
+                   "for fully disjoint classes — the damage travels "
+                   "through directions that are flat at the task-A "
+                   "minimum); 'noisy' = task-A classes + Gaussian noise "
+                   "(--noise std); 'permuted' = fixed pixel permutation "
+                   "(the canonical shared-label domain-shift pair where "
+                   "curvature-subspace protection applies)")
+    p.add_argument("--linear_decay_b", action="store_true",
+                   help="linearly decay the task-B lr to zero over the "
+                   "phase — the reference's exact task-B schedule "
+                   "(load_model.py:217-219,276), which bounds total drift")
+    p.add_argument("--wd", type=float, default=0.0)
     p.add_argument("--out_curves", default=None)
     return p
 
@@ -67,11 +84,32 @@ def _tasks(args, key):
         x, y = load_mnist("test")
         cut = int(0.8 * len(x))
         (x, y), (xt, yt) = (x[:cut], y[:cut]), (x[cut:], y[cut:])
-        xa, ya = get_class_subset(x, y, args.dataset_a, remap=False)
-        xb, yb = get_class_subset(x, y, args.dataset_b, remap=False)
+        task_b = getattr(args, "task_b", "classes")
+        if task_b == "classes":
+            xa, ya = get_class_subset(x, y, args.dataset_a, remap=False)
+            xb, yb = get_class_subset(x, y, args.dataset_b, remap=False)
+            eval_a = get_class_subset(xt, yt, args.dataset_a, remap=False)
+        else:
+            # shared-label domain shift: task B is a transformed view of
+            # the SAME classes (AddGaussianNoise / fixed pixel
+            # permutation) — the pair where projecting task-A curvature
+            # directions protects the still-relevant structure
+            xa, ya = get_class_subset(x, y, args.dataset_a, remap=False)
+            eval_a = get_class_subset(xt, yt, args.dataset_a, remap=False)
+            if task_b == "noisy":
+                from hessian_llm_vision_tpu.data import add_gaussian_noise
+
+                xb = add_gaussian_noise(
+                    xa, std=args.noise or 1.0, seed=args.data_seed
+                )
+                yb = ya.copy()
+            else:  # permuted
+                rng = np.random.RandomState(args.data_seed)
+                perm = rng.permutation(28 * 28)
+                xb = xa.reshape(len(xa), -1)[:, perm].reshape(xa.shape)
+                yb = ya.copy()
         n = int(len(xa) * args.subsample) or 256
         xa, ya, xb, yb = xa[:n], ya[:n], xb[:n], yb[:n]
-        eval_a = get_class_subset(xt, yt, args.dataset_a, remap=False)
         model = SimpleNet()
         params = model.init(key, jnp.zeros((1, 28, 28, 1)))["params"]
     elif args.model in ("vgg16", "resnet50"):
@@ -181,17 +219,23 @@ def main(argv=None):
     basis = spec.ritz_vectors
     print(f"task A eigenbasis: k={args.k}, lambda_max={float(spec.eigvals[-1]):.3f}")
 
-    # phase 1: baseline SGD on task B, tracking task-A accuracy
+    # phase 1: baseline SGD on task B, tracking task-A accuracy.
+    # --linear_decay_b = the reference's task-B schedule: lr decays to 0
+    # across the phase (load_model.py:217-219), bounding total drift.
+    from hessian_llm_vision_tpu.optim import linear_decay
+
+    total_b = args.epochs_b * len(batches_b)
+    lr_b = linear_decay(args.lr, total_b) if args.linear_decay_b else args.lr
     track = lambda p: acc_fn(p, xe, ye)
     params_base, curve_base = _train_phase(
-        loss_fn, sgd_momentum(args.lr, args.momentum), params_a, batches_b,
-        args.epochs_b, track,
+        loss_fn, sgd_momentum(lr_b, args.momentum, args.wd), params_a,
+        batches_b, args.epochs_b, track,
     )
 
     # phase 2: projected SGD on task B
     tx_proj = optax.chain(
         project_gradients(basis, fl, use_pallas=None),
-        sgd_momentum(args.lr, args.momentum),
+        sgd_momentum(lr_b, args.momentum, args.wd),
     )
     params_proj, curve_proj = _train_phase(
         loss_fn, tx_proj, params_a, batches_b, args.epochs_b, track
