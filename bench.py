@@ -156,33 +156,6 @@ def main() -> None:
     jax.block_until_ready(ev)
     wall = time.perf_counter() - t0
 
-    # ---- fast mode: single-pass-bf16 matmuls ("default" precision) ------
-    # 1.79x faster than the parity-grade bf16x3 run at ~2e-3 relative error
-    # on the extreme Ritz values (measured; fails the 1e-3 parity bar, so
-    # it is an OPT-IN mode: --hvp_precision default / --refresh_precision).
-    from hessian_llm_vision_tpu.krylov.driver import dataset_spectrum_host
-    from hessian_llm_vision_tpu.utils.flatten import Flattener as _Fl
-
-    fl_fast = _Fl(params)
-    v0_fast = jax.random.normal(jax.random.PRNGKey(7), (fl_fast.size,), jnp.float32)
-    batch_dicts = [{"input_ids": ids} for ids in batch_list]
-    res_fast = dataset_spectrum_host(  # warm/compile
-        loss_fn, params, batch_dicts, 2, v0=v0_fast, flattener=fl_fast,
-        precision="default",
-    )
-    import numpy as _np
-    _np.asarray(res_fast.alphas)
-    t0 = time.perf_counter()
-    res_fast = dataset_spectrum_host(
-        loss_fn, params, batch_dicts, iters, v0=v0_fast, flattener=fl_fast,
-        precision="default",
-    )
-    a_f = _np.asarray(res_fast.alphas)
-    b_f = _np.asarray(res_fast.betas)
-    wall_fast = time.perf_counter() - t0
-    T_f = _np.diag(a_f) + _np.diag(b_f, 1) + _np.diag(b_f, -1)
-    ev_fast = _np.linalg.eigvalsh(T_f)
-
     # ---- MFU accounting (analytic FLOPs + XLA cost analysis) -------------
     # Analytic per-HVP FLOPs: the fwd-over-rev HVP = jvp of (fwd+bwd); each
     # of the 4 passes is ~2*P_matmul*tokens plus attention 4*B*H*T^2*Dh per
@@ -343,6 +316,38 @@ def main() -> None:
         }
     except Exception:
         pass
+
+    # ---- fast mode: single-pass-bf16 matmuls ("default" precision) ------
+    # 1.79x faster than the parity-grade bf16x3 run at ~2e-3 relative error
+    # on the extreme Ritz values (measured; fails the 1e-3 parity bar, so
+    # it is an OPT-IN mode: --hvp_precision default / --refresh_precision).
+    # Runs LAST: it compiles its own 124M HVP program, and the chip heap
+    # is tight after the rank-k section (basis is freed just above).
+    del basis_bf16  # the last big allocation from the rank-k section
+    from hessian_llm_vision_tpu.krylov.driver import dataset_spectrum_host
+    from hessian_llm_vision_tpu.utils.flatten import Flattener as _Fl
+
+    fl_fast = _Fl(params)
+    v0_fast = jax.random.normal(jax.random.PRNGKey(7), (fl_fast.size,), jnp.float32)
+    batch_dicts = [{"input_ids": ids} for ids in batch_list]
+    res_fast = dataset_spectrum_host(  # warm/compile
+        loss_fn, params, batch_dicts, 2, v0=v0_fast, flattener=fl_fast,
+        precision="default",
+    )
+    import numpy as _np
+
+    _np.asarray(res_fast.alphas)
+    t0 = time.perf_counter()
+    res_fast = dataset_spectrum_host(
+        loss_fn, params, batch_dicts, iters, v0=v0_fast, flattener=fl_fast,
+        precision="default",
+    )
+    a_f = _np.asarray(res_fast.alphas)
+    b_f = _np.asarray(res_fast.betas)
+    wall_fast = time.perf_counter() - t0
+    del res_fast, v0_fast
+    T_f = _np.diag(a_f) + _np.diag(b_f, 1) + _np.diag(b_f, -1)
+    ev_fast = _np.linalg.eigvalsh(T_f)
 
     num_hvps = iters * num_batches
     result = {
