@@ -59,12 +59,27 @@ def main() -> None:
     # measured Ritz-identical to full-f32 within 2e-5 at 1.57x the speed.
     # Pure-bf16 compute dtype is broken for jvp-of-grad on this backend
     # (compiles 10x slower AND runs 40x slower at 124M).
+    #
+    # HEADLINE mode since round 3 is MIXED precision: the transformer
+    # blocks (~71% of HVP FLOPs) run 1-pass bf16 while the vocab-head
+    # matmul + loss keep bf16x3.  Measured extreme-Ritz error vs the
+    # all-bf16x3 run is 2.3e-4/4.7e-4 relative — inside the 1e-3 parity
+    # bar — at 1.51x the throughput; the error lives in the vocab-head
+    # path (blocks-default/head-high errs 5e-4, blocks-high/head-default
+    # errs 1.7e-3; .logs/mixed_prec_r3.log).  The strict bf16x3 run below
+    # cross-checks parity on every bench invocation.
     cfg = GPT2Config.gpt2_124m(
         n_positions=seq_len, dtype=jnp.float32, attn_block_q=block_q
     )
+    cfg_mixed = GPT2Config.gpt2_124m(
+        n_positions=seq_len, dtype=jnp.float32, attn_block_q=block_q,
+        block_matmul_precision="default",
+    )
     model = GPT2LMHead(cfg)
+    model_mixed = GPT2LMHead(cfg_mixed)
     params = model.init_params(jax.random.PRNGKey(0), seq_len=seq_len)
     loss_fn = losses.lm_loss_fn(model, loss_chunk=chunk)
+    loss_fn_mixed = losses.lm_loss_fn(model_mixed, loss_chunk=chunk)
 
     data = random_token_batches(
         num_batches, batch_size, seq_len, cfg.vocab_size, seed=0
@@ -94,12 +109,18 @@ def main() -> None:
 
     fl = Flattener(params)
 
-    @jax.jit
-    def batch_hvp(v, params, ids):
-        op = HessianOperator(
-            loss_fn, params, {"input_ids": ids}, flattener=fl, remat=False
-        )
-        return op.matvec(v)
+    def make_batch_hvp(lfn):
+        @jax.jit
+        def batch_hvp(v, params, ids):
+            op = HessianOperator(
+                lfn, params, {"input_ids": ids}, flattener=fl, remat=False
+            )
+            return op.matvec(v)
+
+        return batch_hvp
+
+    batch_hvp = make_batch_hvp(loss_fn)  # strict bf16x3 (parity anchor)
+    batch_hvp_mixed = make_batch_hvp(loss_fn_mixed)  # headline
 
     @jax.jit
     def recurrence(w, q_cur, q_prev, beta_prev):
@@ -111,24 +132,31 @@ def main() -> None:
     dim = fl.size
     batch_list = [batches["input_ids"][i] for i in range(num_batches)]
 
-    def dataset_hvp(v):
-        # dataset-mean = mean of equal-size per-batch mean-HVPs
-        # (gpt2_savehessian.py:154 `loss *= batch/N` semantics)
-        w = batch_hvp(v, params, batch_list[0])
-        for ids in batch_list[1:]:
-            w = w + batch_hvp(v, params, ids)
-        return w / num_batches
+    def make_dataset_hvp(bh):
+        def dataset_hvp(v):
+            # dataset-mean = mean of equal-size per-batch mean-HVPs
+            # (gpt2_savehessian.py:154 `loss *= batch/N` semantics)
+            w = bh(v, params, batch_list[0])
+            for ids in batch_list[1:]:
+                w = w + bh(v, params, ids)
+            return w / num_batches
 
-    def spectrum(key):
+        return dataset_hvp
+
+    dataset_hvp = make_dataset_hvp(batch_hvp_mixed)  # headline operator
+    dataset_hvp_strict = make_dataset_hvp(batch_hvp)
+
+    def spectrum(key, dhvp=None):
         import numpy as np
 
+        dhvp = dhvp or dataset_hvp
         q_cur = jax.random.normal(key, (dim,), jnp.float32)
         q_cur = q_cur / jnp.linalg.norm(q_cur)
         q_prev = jnp.zeros_like(q_cur)
         beta_prev = jnp.float32(0.0)
         alphas, betas = [], []
         for _ in range(iters):
-            w = dataset_hvp(q_cur)
+            w = dhvp(q_cur)
             alpha, beta, q_next = recurrence(w, q_cur, q_prev, beta_prev)
             q_prev, q_cur, beta_prev = q_cur, q_next, beta
             alphas.append(alpha)
@@ -156,6 +184,17 @@ def main() -> None:
     jax.block_until_ready(ev)
     wall = time.perf_counter() - t0
 
+    # strict bf16x3 spectrum: same probe, parity cross-check + its own
+    # throughput number (the round-1/2 headline mode)
+    ev_s, _ = spectrum(jax.random.PRNGKey(42), dataset_hvp_strict)  # warm
+    jax.block_until_ready(ev_s)
+    t0 = time.perf_counter()
+    ev_s, _ = spectrum(jax.random.PRNGKey(7), dataset_hvp_strict)
+    jax.block_until_ready(ev_s)
+    wall_strict = time.perf_counter() - t0
+    mixed_err_max = abs(float(ev[-1]) - float(ev_s[-1])) / abs(float(ev_s[-1]))
+    mixed_err_min = abs(float(ev[0]) - float(ev_s[0])) / abs(float(ev_s[0]))
+
     # ---- MFU accounting (analytic FLOPs + XLA cost analysis) -------------
     # Analytic per-HVP FLOPs: the fwd-over-rev HVP = jvp of (fwd+bwd); each
     # of the 4 passes is ~2*P_matmul*tokens plus attention 4*B*H*T^2*Dh per
@@ -181,7 +220,7 @@ def main() -> None:
     flops_hvp_analytic = 6 * flops_fwd
     try:
         ca = (
-            jax.jit(batch_hvp)
+            jax.jit(batch_hvp_mixed)
             .lower(
                 jax.ShapeDtypeStruct((dim,), jnp.float32),
                 jax.tree_util.tree_map(
@@ -198,11 +237,19 @@ def main() -> None:
     hvps_per_sec = iters * num_batches / wall
     achieved_tflops = flops_hvp_analytic * hvps_per_sec / 1e12
     achieved_tflops_xla = flops_hvp_xla * hvps_per_sec / 1e12
-    # v5e bf16 MXU peak 197 TFLOP/s; curvature runs matmuls at "high"
-    # (bf16x3) => 3 MXU passes per logical f32 matmul => effective peak ~66
+    # v5e bf16 MXU peak 197 TFLOP/s.  Mixed mode runs the blocks 1-pass
+    # and the vocab head bf16x3 (3 passes), so the effective peak is the
+    # FLOP-weighted harmonic blend; strict mode is peak/3 across the board.
     PEAK_BF16, PASSES = 197.0, 3.0
-    mfu_pct = 100.0 * achieved_tflops / (PEAK_BF16 / PASSES)
-    mfu_pct_xla = 100.0 * achieved_tflops_xla / (PEAK_BF16 / PASSES)
+    vocab_flops_fwd = 2 * cfg.vocab_size * cfg.n_embd * n_tokens
+    f_vocab = vocab_flops_fwd / flops_fwd
+    peak_mixed = PEAK_BF16 / ((1.0 - f_vocab) + PASSES * f_vocab)
+    mfu_pct = 100.0 * achieved_tflops / peak_mixed
+    mfu_pct_xla = 100.0 * achieved_tflops_xla / peak_mixed
+    hvps_per_sec_strict = iters * num_batches / wall_strict
+    mfu_pct_strict = 100.0 * (
+        flops_hvp_analytic * hvps_per_sec_strict / 1e12
+    ) / (PEAK_BF16 / PASSES)
 
     # ---- top device ops from one profiler trace ---------------------------
     top_ops = []
@@ -362,16 +409,28 @@ def main() -> None:
             "seq_len": seq_len,
             "attn_block_q": block_q,
             "loss_chunk": chunk,
+            "precision_mode": "mixed (--hvp_precision mixed): transformer "
+            "blocks 1-pass bf16, vocab head + loss bf16x3",
             "memory_light_note": "blockwise attention + chunked-vocab loss; "
             "reference bs16 default now fits one chip (dense path 1.77x "
             "slower, same Ritz values)",
+            "strict_mode_wallclock": round(wall_strict, 3),
+            "strict_mode_hvps_per_sec": round(hvps_per_sec_strict, 3),
+            "strict_mode_lambda_max": float(ev_s[-1]),
+            "strict_mode_lambda_min": float(ev_s[0]),
+            "strict_mode_mfu_pct_of_bf16x3_roofline": round(mfu_pct_strict, 1),
+            "mixed_vs_strict_rel_err_lambda_max": round(mixed_err_max, 6),
+            "mixed_vs_strict_rel_err_lambda_min": round(mixed_err_min, 6),
+            "mixed_parity_note": "headline (mixed) extreme Ritz values are "
+            "cross-checked against the all-bf16x3 strict run every bench "
+            "invocation; parity bar is 1e-3 relative",
             "fast_mode_wallclock": round(wall_fast, 3),
             "fast_mode_hvps_per_sec": round(num_hvps / wall_fast, 3),
             "fast_mode_lambda_max": float(ev_fast[-1]),
             "fast_mode_lambda_min": float(ev_fast[0]),
             "fast_mode_note": "--hvp_precision default (1 bf16 MXU pass): "
             "opt-in speed mode, ~2e-3 relative extreme-Ritz error vs the "
-            "parity-grade bf16x3 headline above",
+            "strict bf16x3 values — fails the 1e-3 bar, stays opt-in",
             "lambda_max": float(ev[-1]),
             "lambda_min": float(ev[0]),
             "plain_step_sec": round(t_plain, 4),
@@ -387,10 +446,11 @@ def main() -> None:
             "flops_per_hvp_xla": flops_hvp_xla,
             "achieved_tflops": round(achieved_tflops, 2),
             "achieved_tflops_xla_count": round(achieved_tflops_xla, 2),
-            "mfu_pct_of_bf16x3_roofline": round(mfu_pct, 1),
+            "mfu_pct_of_mixed_roofline": round(mfu_pct, 1),
             "mfu_pct_xla_count": round(mfu_pct_xla, 1),
-            "roofline_note": "v5e bf16 peak 197 TF/s; curvature matmuls run "
-            "bf16x3 ('high') => effective peak ~66 TF/s",
+            "roofline_note": "v5e bf16 peak 197 TF/s; mixed mode blends "
+            "1-pass blocks with a 3-pass vocab head => effective peak "
+            f"~{peak_mixed:.0f} TF/s (strict bf16x3: ~66 TF/s)",
             "top_ops": top_ops,
             "flagship_124m_training": flagship,
             "backend": jax.default_backend(),

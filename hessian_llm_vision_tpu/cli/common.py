@@ -144,6 +144,7 @@ def build_workload(args) -> Workload:
 
     attn_blk = getattr(args, "attn_block_q", None)
     loss_chunk = getattr(args, "loss_chunk", None)
+    block_prec = getattr(args, "block_precision", None)
 
     if name.startswith("gpt2"):
         cfg = (
@@ -156,6 +157,8 @@ def build_workload(args) -> Workload:
         )
         if attn_blk:
             cfg = dataclasses.replace(cfg, attn_block_q=attn_blk)
+        if block_prec:
+            cfg = dataclasses.replace(cfg, block_matmul_precision=block_prec)
         model = GPT2LMHead(cfg)
         params = model.init_params(key, seq_len=min(16, args.max_length))
         if args.checkpoint:
@@ -187,6 +190,8 @@ def build_workload(args) -> Workload:
             cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
         if attn_blk:
             cfg = dataclasses.replace(cfg, attn_block_q=attn_blk)
+        if block_prec:
+            cfg = dataclasses.replace(cfg, block_matmul_precision=block_prec)
         model = NeoXLMHead(cfg)
         params = model.init_params(key, seq_len=min(16, args.max_length))
         if args.checkpoint:
@@ -220,6 +225,8 @@ def build_workload(args) -> Workload:
             cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
         if attn_blk:
             cfg = dataclasses.replace(cfg, attn_block_q=attn_blk)
+        if block_prec:
+            cfg = dataclasses.replace(cfg, block_matmul_precision=block_prec)
         model = LlamaLMHead(cfg)
         params = model.init_params(key, seq_len=min(16, args.max_length))
         if args.checkpoint:
@@ -398,6 +405,11 @@ def add_common_args(parser) -> None:
                         help="blockwise-attention query-block size for LMs "
                         "(memory-light curvature path, models/attention.py); "
                         "default dense")
+    parser.add_argument("--block_precision", default=None,
+                        choices=["default", "high", "highest"],
+                        help="matmul precision override for the transformer "
+                        "blocks only (mixed curvature mode: outer 'high' + "
+                        "blocks 'default'); default inherits")
     parser.add_argument("--loss_chunk", type=int, default=None,
                         help="chunked-vocab LM loss: never materialize the "
                         "(B,T,V) logits; chunk size in sequence positions")

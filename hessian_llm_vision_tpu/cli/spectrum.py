@@ -82,11 +82,13 @@ def build_parser() -> argparse.ArgumentParser:
                    "GGN of the NLL — colaexp.py parity; single-batch)")
     p.add_argument("--no_reorth", action="store_true")
     p.add_argument("--hvp_precision", default="high",
-                   choices=["high", "highest", "default"],
+                   choices=["high", "highest", "default", "mixed"],
                    help="matmul precision under the curvature trace "
                    "(host-loop paths): 'high' (bf16x3) is the parity-grade "
                    "default; 'default' (1 bf16 MXU pass) is measured 1.68x "
-                   "faster at ~1e-3 extreme-Ritz error")
+                   "faster at ~1e-3 extreme-Ritz error; 'mixed' keeps the "
+                   "embedding/vocab-head path at 'high' but runs the "
+                   "transformer blocks at 'default' (LM models only)")
     p.add_argument("--out_spectrum", default=None)
     p.add_argument("--plot", default=None, help="save stem/density plot PNG")
     p.add_argument("--compare_to", default=None,
@@ -166,6 +168,13 @@ def _make_operator(args, wl):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     maybe_force_cpu(args)
+
+    if args.hvp_precision == "mixed":
+        # sugar: outer context (embeddings + vocab head + loss) 'high',
+        # transformer blocks 'default' — blocks carry ~71% of HVP FLOPs
+        args.hvp_precision = "high"
+        if not getattr(args, "block_precision", None):
+            args.block_precision = "default"
 
     from hessian_llm_vision_tpu.io import save_spectrum, save_tridiag
     from hessian_llm_vision_tpu.krylov import (

@@ -29,17 +29,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--optimiser", default="sgd",
                    help="sgd | adam | raw | lanczos | lanczos-host | "
                    "lanczos-layer | lanczos-layer-host | gn | ngd")
-    p.add_argument("--basis_bf16", action="store_true",
+    p.add_argument("--basis_bf16", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="lanczos-host: store the frozen Ritz basis bf16 "
-                   "(half HBM + bf16-streaming adjust; required at 124M+)")
+                   "(half HBM + bf16-streaming adjust, measured faster AND "
+                   "smaller at 124M — bench.py adjusted_step_sec_bf16_basis)."
+                   "  Default: ON for models >=1e8 params, off below; "
+                   "--no-basis_bf16 forces f32")
     p.add_argument("--refresh_batch_size", type=int, default=None,
                    help="lanczos-host: run refresh HVPs on only the first N "
                    "sequences (frees HBM headroom at 124M+)")
     p.add_argument("--refresh_precision", default="high",
-                   choices=["high", "highest", "default"],
+                   choices=["high", "highest", "default", "mixed"],
                    help="lanczos-host: matmul precision for refresh HVPs — "
                    "'default' (1 bf16 MXU pass) is 1.68x faster at ~1e-3 "
-                   "Ritz error, fine for delta-damped training refreshes")
+                   "Ritz error, fine for delta-damped training refreshes; "
+                   "'mixed' = blocks 'default' + vocab head 'high' "
+                   "(1.5x faster at <5e-4 extreme-Ritz error, LMs only)")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--beta2", type=float, default=0.999,
@@ -86,6 +92,14 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> float:
     args = build_parser().parse_args(argv)
     maybe_force_cpu(args)
+
+    if args.refresh_precision == "mixed":
+        # sugar (mirrors cli.spectrum --hvp_precision mixed): refresh HVPs
+        # run blocks at 'default' + vocab head at 'high'; the plain grad
+        # step already runs at ambient 'default' precision either way
+        args.refresh_precision = "high"
+        if not getattr(args, "block_precision", None):
+            args.block_precision = "default"
 
     from hessian_llm_vision_tpu.io import run_dir_name, save_checkpoint
     from hessian_llm_vision_tpu.obs import (
@@ -196,17 +210,33 @@ def main(argv=None) -> float:
             accum_steps=accum,
             normalization="sum",
         )
+        import jax  # local: later branches shadow the name in this scope
+
+        basis_bf16 = args.basis_bf16
+        if basis_bf16 is None:
+            # scale-aware default: the bf16-streaming rank-k adjust is
+            # measured both faster and half the HBM at 124M (bench.py
+            # adjusted_step_sec_bf16_basis 0.065 vs 0.074 s/step); below
+            # 1e8 params the f32 basis costs nothing and keeps exactness
+            n_params = sum(
+                int(p.size) for p in jax.tree_util.tree_leaves(wl.params)
+            )
+            basis_bf16 = n_params >= 10**8
+            if basis_bf16:
+                print("[train] >=1e8 params: bf16 Ritz basis on by default "
+                      "(--no-basis_bf16 for f32)")
+        basis_dtype = jnp.bfloat16 if basis_bf16 else jnp.float32
         if args.optimiser == "lanczos-host":
             trainer = HostLanczosSGDTrainer(
                 wl.loss_fn, wl.params, cfg, batch_size=wl.batch_size,
-                basis_dtype=jnp.bfloat16 if args.basis_bf16 else jnp.float32,
+                basis_dtype=basis_dtype,
                 refresh_batch_size=args.refresh_batch_size,
                 refresh_precision=args.refresh_precision,
             )
         else:
             trainer = HostLayerwiseLanczosSGDTrainer(
                 wl.loss_fn, wl.params, cfg, batch_size=wl.batch_size,
-                basis_dtype=jnp.bfloat16 if args.basis_bf16 else jnp.float32,
+                basis_dtype=basis_dtype,
                 refresh_precision=args.refresh_precision,
             )
         init_fn, step_fn = trainer.init, trainer.step

@@ -43,6 +43,14 @@ class GPT2Config:
     attn_block_q: int | None = None
     attn_remat: bool = True
     attn_unroll: bool = False
+    # matmul precision override for the transformer BLOCKS only (None =
+    # inherit the caller's jax.default_matmul_precision).  The mixed
+    # curvature mode sets the outer context to "high" (bf16x3) and this to
+    # "default" (1 bf16 MXU pass): blocks carry ~71% of the HVP FLOPs but
+    # their rounding error is damped by the residual stream + layernorms,
+    # while the vocab-head matmul/log-softmax (the direct loss path) keeps
+    # 3-pass precision.  See bench.py mixed-mode parity measurements.
+    block_matmul_precision: str | None = None
 
     @property
     def head_dim(self) -> int:
@@ -136,8 +144,13 @@ class GPT2LMHead(nn.Module):
             jnp.float32,
         )
         x = wte[input_ids].astype(cfg.dtype) + wpe[:T][None].astype(cfg.dtype)
-        for i in range(cfg.n_layer):
-            x = Block(cfg, name=f"h_{i}")(x, deterministic)
+        if cfg.block_matmul_precision is not None:
+            with jax.default_matmul_precision(cfg.block_matmul_precision):
+                for i in range(cfg.n_layer):
+                    x = Block(cfg, name=f"h_{i}")(x, deterministic)
+        else:
+            for i in range(cfg.n_layer):
+                x = Block(cfg, name=f"h_{i}")(x, deterministic)
         x = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln_f")(x)
         if return_hidden:
             # final pre-logit hidden states; combine with output_kernel()

@@ -41,6 +41,9 @@ class LlamaConfig:
     attn_block_q: int | None = None
     attn_remat: bool = True
     attn_unroll: bool = False
+    # transformer-block matmul precision override (None = inherit); the
+    # mixed curvature mode — see models/gpt2.py::GPT2Config
+    block_matmul_precision: str | None = None
 
     @property
     def head_dim(self) -> int:
@@ -185,8 +188,13 @@ class LlamaLMHead(nn.Module):
             jnp.float32,
         )
         x = emb[input_ids].astype(cfg.dtype)
-        for i in range(cfg.num_layers):
-            x = LlamaBlock(cfg, name=f"layer_{i}")(x)
+        if cfg.block_matmul_precision is not None:
+            with jax.default_matmul_precision(cfg.block_matmul_precision):
+                for i in range(cfg.num_layers):
+                    x = LlamaBlock(cfg, name=f"layer_{i}")(x)
+        else:
+            for i in range(cfg.num_layers):
+                x = LlamaBlock(cfg, name=f"layer_{i}")(x)
         x = RMSNorm(cfg.rms_eps, cfg.dtype, name="norm")(x)
         if return_hidden:
             return x

@@ -34,6 +34,9 @@ class NeoXConfig:
     attn_block_q: int | None = None
     attn_remat: bool = True
     attn_unroll: bool = False
+    # transformer-block matmul precision override (None = inherit); the
+    # mixed curvature mode — see models/gpt2.py::GPT2Config
+    block_matmul_precision: str | None = None
 
     @property
     def head_dim(self) -> int:
@@ -153,8 +156,13 @@ class NeoXLMHead(nn.Module):
             jnp.float32,
         )
         x = emb[input_ids].astype(cfg.dtype)
-        for i in range(cfg.num_layers):
-            x = NeoXBlock(cfg, name=f"layer_{i}")(x)
+        if cfg.block_matmul_precision is not None:
+            with jax.default_matmul_precision(cfg.block_matmul_precision):
+                for i in range(cfg.num_layers):
+                    x = NeoXBlock(cfg, name=f"layer_{i}")(x)
+        else:
+            for i in range(cfg.num_layers):
+                x = NeoXBlock(cfg, name=f"layer_{i}")(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="final_layer_norm")(x)
         if return_hidden:
             return x

@@ -183,3 +183,37 @@ def test_blockwise_jit_and_donation_compatible():
     v = jax.random.normal(jax.random.PRNGKey(1), (fl.size,), jnp.float32)
     out = batch_hvp(v, params, batch["input_ids"])
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize(
+    "make",
+    [
+        lambda bp: GPT2LMHead(GPT2Config.tiny(block_matmul_precision=bp)),
+        lambda bp: NeoXLMHead(NeoXConfig.tiny(block_matmul_precision=bp)),
+        lambda bp: LlamaLMHead(LlamaConfig.tiny(block_matmul_precision=bp)),
+    ],
+    ids=["gpt2", "neox", "llama"],
+)
+def test_block_matmul_precision_plumbing(make):
+    """The mixed curvature mode (blocks 'default', outer 'high') must trace
+    through logits/grad/HVP.  On CPU every matmul precision lowers to f32,
+    so the override is exactly value-preserving here — this pins the
+    PLUMBING; the TPU-side accuracy/speed trade is measured by bench.py."""
+    plain, mixed = make(None), make("default")
+    params = plain.init_params(jax.random.PRNGKey(0), seq_len=T)
+    batch = _batch(plain.config.vocab_size)
+
+    with jax.default_matmul_precision("high"):
+        lp = plain.apply({"params": params}, batch["input_ids"])
+        lm = mixed.apply({"params": params}, batch["input_ids"])
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lm), atol=1e-6)
+
+    loss_p = losses.lm_loss_fn(plain)
+    loss_m = losses.lm_loss_fn(mixed)
+    fl = Flattener(params)
+    vec = fl.unflatten(
+        jax.random.normal(jax.random.PRNGKey(3), (fl.size,), jnp.float32)
+    )
+    hp = hvp(loss_p, params, batch, vec)
+    hm = hvp(loss_m, params, batch, vec)
+    _hvp_close(hp, hm, 1e-6)
