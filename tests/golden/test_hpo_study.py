@@ -1,0 +1,69 @@
+"""Golden pins for the committed 50-trial HPO studies (artifacts/hpo_r3).
+
+The reference's Optuna protocol (/root/reference/optun.py:47-59,
+optun_adam.py) runs 50 trials over (k, lr, delta, lanczos_momentum) /
+(beta2, lr, delta), failures count as inf, and the best params are written
+to JSON.  These tests pin the committed studies' structural contract so a
+regression in cli.hpo (space definition, trial accounting, best-selection)
+is caught against real study artifacts.
+"""
+
+import json
+import math
+import os
+
+import pytest
+
+ART = os.path.join(os.path.dirname(__file__), "..", "..", "artifacts", "hpo_r3")
+
+STUDIES = {
+    "lanczos": {
+        "file": "lanczos_gpt2tiny_markov.json",
+        "bounds": {
+            "k": (5, 50),
+            "lr": (1e-4, 1e-1),
+            "delta": (1e-6, 1e-2),
+            "lanczos_momentum": (0.0, 0.99),
+        },
+    },
+    "adam": {
+        "file": "adam_gpt2tiny_markov.json",
+        "bounds": {
+            "beta2": (0.9, 0.9999),
+            "lr": (1e-6, 1e-3),
+            "delta": (1e-9, 1.0),
+        },
+    },
+}
+
+
+@pytest.mark.parametrize("name", list(STUDIES))
+def test_hpo_study_contract(name):
+    spec = STUDIES[name]
+    path = os.path.join(ART, spec["file"])
+    if not os.path.exists(path):
+        pytest.skip(f"study artifact not committed yet: {path}")
+    with open(path) as f:
+        study = json.load(f)
+
+    # the reference's trial count (optun.py:47 n_trials=50)
+    assert len(study["trials"]) == 50
+    assert study["backend"] in ("optuna", "random-search")
+
+    # every trial draws from the documented space
+    for t in study["trials"]:
+        assert set(t["params"]) == set(spec["bounds"])
+        for p, (lo, hi) in spec["bounds"].items():
+            assert lo <= t["params"][p] <= hi, (p, t["params"][p])
+
+    # best = min over finite trials, and params echo that trial
+    finite = [t for t in study["trials"] if math.isfinite(t["loss"])]
+    assert finite, "all 50 trials failed"
+    best_trial = min(finite, key=lambda t: t["loss"])
+    assert study["loss"] == best_trial["loss"]
+    assert study["params"] == best_trial["params"]
+
+    # the study must have signal: the best trial beats the median trial
+    losses = sorted(t["loss"] for t in finite)
+    median = losses[len(losses) // 2]
+    assert study["loss"] < median
