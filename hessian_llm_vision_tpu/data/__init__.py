@@ -6,6 +6,7 @@ from hessian_llm_vision_tpu.data.synthetic import (
 )
 from hessian_llm_vision_tpu.data.vision import (
     load_mnist,
+    load_mnist_as_cifar,
     load_cifar10,
     get_class_subset,
     add_gaussian_noise,
@@ -24,6 +25,7 @@ __all__ = [
     "markov_token_batches",
     "random_image_batches",
     "load_mnist",
+    "load_mnist_as_cifar",
     "load_cifar10",
     "get_class_subset",
     "add_gaussian_noise",

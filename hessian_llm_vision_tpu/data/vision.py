@@ -70,6 +70,25 @@ def load_mnist(
     return x, y
 
 
+def load_mnist_as_cifar(
+    split: str = "train", data_dir: Optional[str] = None, normalize: bool = True
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Real MNIST bridged to the CIFAR input contract: (N,32,32,3) f32.
+
+    Zero-pads 28x28 -> 32x32 and tiles the channel to RGB so the VGG/ResNet
+    spectrum workloads (reference train_savespec.py:125-170 era) can run on
+    REAL image data in this offline environment where the CIFAR-10 pickle
+    distribution is absent.  Labels are the true digit labels, so the loss
+    landscape is that of a genuine 10-class problem, not noise."""
+    x, y = load_mnist(split, data_dir=data_dir, normalize=normalize)
+    # pad with the (normalized) black-background value, not literal zero
+    bg = float((0.0 - MNIST_MEAN) / MNIST_STD) if normalize else 0.0
+    n = x.shape[0]
+    out = np.full((n, 32, 32, 1), bg, np.float32)
+    out[:, 2:30, 2:30, :] = x
+    return np.repeat(out, 3, axis=3), y
+
+
 def load_cifar10(
     split: str = "train", data_dir: Optional[str] = None, normalize: bool = True
 ) -> Tuple[np.ndarray, np.ndarray]:

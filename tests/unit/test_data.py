@@ -75,6 +75,24 @@ def test_mnist_loads():
     assert 0 <= y.min() and y.max() <= 9
 
 
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/data/MNIST/raw"),
+    reason="reference MNIST not mounted",
+)
+def test_mnist_as_cifar_bridge():
+    from hessian_llm_vision_tpu.data import load_mnist_as_cifar
+
+    x, y = load_mnist_as_cifar("test")
+    assert x.shape == (10000, 32, 32, 3) and y.shape == (10000,)
+    # channels are tiled copies of the padded grayscale image
+    np.testing.assert_array_equal(x[..., 0], x[..., 1])
+    np.testing.assert_array_equal(x[..., 0], x[..., 2])
+    # interior matches load_mnist; border is the normalized background
+    raw, _ = load_mnist("test")
+    np.testing.assert_allclose(x[:, 2:30, 2:30, :1], raw, rtol=0, atol=0)
+    assert np.allclose(x[:, 0, 0, 0], x[0, 0, 0, 0])  # constant border
+
+
 def test_random_images():
     x, y = random_image_batches(2, 4, seed=0)
     assert x.shape == (2, 4, 32, 32, 3) and y.shape == (2, 4)
