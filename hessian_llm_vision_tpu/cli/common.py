@@ -349,6 +349,10 @@ def build_workload(args) -> Workload:
             if args.classes:
                 x, y = get_class_subset(x, y, args.classes)
             n_take = int(len(x) * args.subsample) or args.batch_size
+            # --num_batches caps real vision data too (same flag semantics
+            # as the LM/local-corpus paths)
+            if args.num_batches is not None:
+                n_take = min(n_take, int(args.num_batches) * args.batch_size)
             x, y = x[:n_take], y[:n_take]
             num_classes = len(args.classes) if args.classes else 10
         else:
