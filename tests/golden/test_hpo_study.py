@@ -67,3 +67,30 @@ def test_hpo_study_contract(name):
     losses = sorted(t["loss"] for t in finite)
     median = losses[len(losses) // 2]
     assert study["loss"] < median
+
+
+def test_hpo_validation_artifact():
+    """Pin the seed-transfer validation of the committed studies.
+
+    Measured 2026-08-17 (artifacts/hpo_r3/validation.json): the LanczosSGD
+    study best must beat the CLI default on the study seed AND on the fresh
+    seed; the Adam rows record that no point in the reference search space
+    (optun_adam.py lr <= 1e-3) beats the lr=1e-3 default at this horizon —
+    an honest negative result, pinned so the numbers stay consistent with
+    the study JSONs.
+    """
+    path = os.path.join(ART, "validation.json")
+    if not os.path.exists(path):
+        pytest.skip(f"validation artifact not committed yet: {path}")
+    with open(path) as f:
+        val = json.load(f)
+
+    for seed_key in ("study_seed", "fresh_seed_1"):
+        rows = val[seed_key]
+        assert rows["lanczos_best"] < rows["lanczos_default"], seed_key
+
+    # the in-study best losses must match the study artifacts exactly
+    with open(os.path.join(ART, STUDIES["lanczos"]["file"])) as f:
+        assert val["study_seed"]["lanczos_best"] == json.load(f)["loss"]
+    with open(os.path.join(ART, STUDIES["adam"]["file"])) as f:
+        assert val["study_seed"]["adam_best"] == json.load(f)["loss"]
