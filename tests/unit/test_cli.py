@@ -384,3 +384,30 @@ def test_local_corpus_num_batches_cap(tmp_path):
     )
     assert len(wl_all.batches) > 3
     assert len(wl_cap.batches) == 3
+
+
+def test_spectrum_cli_host_loop_multiprobe(tmp_path, capsys):
+    """--host_loop --probes N: the d.sh seed grid in-process (the path the
+    124M artifacts/slq_multiprobe_r3 run used).  Checks the SLQ-averaging
+    contract: probes x iters Ritz pairs, weights averaged over probes
+    (sum to 1), per-probe extreme Ritz values printed and consistent."""
+    from hessian_llm_vision_tpu.cli import spectrum
+
+    out = str(tmp_path / "spec")
+    spectrum.main([
+        "--model", "gpt2-tiny", "--lanczos_iters", "6", "--batch_size", "2",
+        "--num_batches", "2", "--max_length", "16",
+        "--host_loop", "--probes", "3", "--out_spectrum", out,
+    ])
+    text = capsys.readouterr().out
+    assert "probe 1/3" in text and "probe 3/3" in text
+    d = np.load(out + ".npz")
+    ev, ga = d["eigvals"], d["gammas"]
+    assert ev.shape == (3 * 6,)
+    np.testing.assert_allclose(ga.sum(), 1.0, atol=1e-5)
+    # per-probe SLQ weights each sum to 1/probes (averaged, not renormalized)
+    per_probe_ga = [ga[i * 6:(i + 1) * 6].sum() for i in range(3)]
+    np.testing.assert_allclose(per_probe_ga, 1.0 / 3, atol=1e-5)
+    # (probe-to-probe extreme-Ritz agreement is a CONVERGENCE property, not
+    # a contract — at 6 iters a probe may not reach lambda_max; the at-scale
+    # agreement is pinned by tests/golden/test_multiprobe_artifact.py)
