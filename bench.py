@@ -46,14 +46,20 @@ def main() -> None:
 
     # 32 sequences total (= wikipedia-simple subsample~1e-4) as 4 micro-batches
     # of 8.  Since round 3 the curvature path runs MEMORY-LIGHT: blockwise
-    # causal attention (scan over 256-query blocks, models/attention.py) and
+    # causal attention (scan over query blocks, models/attention.py) and
     # a chunked-vocab loss (losses.chunked_causal_lm_loss) — no (B,H,T,T)
     # scores and no (B,T,V) logits in the HVP working set.  Measured on this
     # chip: 1.77x faster than the dense path on the full 35-iter spectrum
     # with identical Ritz values (4.732/-4.638), and the reference's own
     # bs16 default (gpt2_savehessian.py:12-19) now fits one chip (bs32 OOMs).
     num_batches, batch_size, seq_len, iters = 4, 8, 512, 35
-    block_q = chunk = 256
+    # Block sizes are a speed/memory dial: at bs8/seq512 the maximal
+    # 512/512 setting (one query block, one loss chunk — the scan/chunk
+    # overhead removed, working set still fits) is the measured-fastest:
+    # 20.07 s vs 20.73 s for 256/256 same-process (+3.2%, identical Ritz;
+    # .logs/probe_blk512_r3.log).  256/256 remains the setting that fits
+    # the bs16 reference default / tighter-memory jobs.
+    block_q = chunk = 512
 
     # f32 params with bf16x3 matmul precision (hvp_fn default "high"):
     # measured Ritz-identical to full-f32 within 2e-5 at 1.57x the speed.
