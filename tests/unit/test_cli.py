@@ -411,3 +411,19 @@ def test_spectrum_cli_host_loop_multiprobe(tmp_path, capsys):
     # (probe-to-probe extreme-Ritz agreement is a CONVERGENCE property, not
     # a contract — at 6 iters a probe may not reach lambda_max; the at-scale
     # agreement is pinned by tests/golden/test_multiprobe_artifact.py)
+
+
+def test_package_main_dispatch(tmp_path, capsys):
+    """python -m hessian_llm_vision_tpu <cmd>: help map + dispatch + errors."""
+    from hessian_llm_vision_tpu.__main__ import main
+
+    assert main([]) == 0
+    text = capsys.readouterr().out
+    for cmd in ("train", "spectrum", "forget", "sweep", "hpo"):
+        assert cmd in text
+    assert main(["no-such-command"]) == 2
+    out = str(tmp_path / "spec")
+    assert main(["spectrum", "--model", "spiral", "--lanczos_iters", "4",
+                 "--batch_size", "30", "--num_points", "120",
+                 "--out_spectrum", out]) == 0
+    assert os.path.exists(out + ".npz")
