@@ -61,13 +61,22 @@ def main(argv=None):
     p.add_argument("--trials", type=int, default=50)
     p.add_argument("--optimiser", default="lanczos")
     p.add_argument("--hpo_seed", type=int, default=0)
+    p.add_argument("--space", default="reference", choices=["reference", "wide"],
+                   help="'reference' = the exact optun.py / optun_adam.py "
+                   "ranges; 'wide' lifts the lr upper bound to 1e-1 "
+                   "(the reference Adam space caps lr at 1e-3, which its "
+                   "own CLI default sits ON — measured in "
+                   "artifacts/hpo_r3/validation.json)")
     p.add_argument("--out_json", default="best_params.json")
     args, passthrough = p.parse_known_args(argv)
     passthrough = [a for a in passthrough if a != "--"]
 
     from hessian_llm_vision_tpu.cli import train as train_cli
 
-    space = SPACE.get(args.optimiser, SPACE["lanczos"])
+    space = dict(SPACE.get(args.optimiser, SPACE["lanczos"]))
+    if args.space == "wide":
+        kind, lo, _ = space["lr"]
+        space["lr"] = (kind, lo, 1e-1)
 
     def run_point(point) -> float:
         cli_args = list(passthrough) + ["--optimiser", args.optimiser]

@@ -34,6 +34,16 @@ STUDIES = {
             "delta": (1e-9, 1.0),
         },
     },
+    # --space wide: the lr bound lifted past the reference's 1e-3 cap
+    "adam-wide": {
+        "file": "adam_wide_gpt2tiny_markov.json",
+        "trials": 25,
+        "bounds": {
+            "beta2": (0.9, 0.9999),
+            "lr": (1e-6, 1e-1),
+            "delta": (1e-9, 1.0),
+        },
+    },
 }
 
 
@@ -46,8 +56,9 @@ def test_hpo_study_contract(name):
     with open(path) as f:
         study = json.load(f)
 
-    # the reference's trial count (optun.py:47 n_trials=50)
-    assert len(study["trials"]) == 50
+    # the reference's trial count (optun.py:47 n_trials=50) unless the
+    # study spec overrides it (the wide-space follow-up ran 25)
+    assert len(study["trials"]) == spec.get("trials", 50)
     assert study["backend"] in ("optuna", "random-search")
 
     # every trial draws from the documented space
@@ -93,4 +104,16 @@ def test_hpo_validation_artifact():
     with open(os.path.join(ART, STUDIES["lanczos"]["file"])) as f:
         assert val["study_seed"]["lanczos_best"] == json.load(f)["loss"]
     with open(os.path.join(ART, STUDIES["adam"]["file"])) as f:
-        assert val["study_seed"]["adam_best"] == json.load(f)["loss"]
+        adam_best = json.load(f)["loss"]
+    assert val["study_seed"]["adam_best"] == adam_best
+
+    # the wide-space follow-up must beat both the reference-space best and
+    # the lr=1e-3 default, with an lr the reference space excludes — the
+    # negative result is the space's boundary, not the tooling
+    wide_path = os.path.join(ART, STUDIES["adam-wide"]["file"])
+    if os.path.exists(wide_path):
+        with open(wide_path) as f:
+            wide = json.load(f)
+        assert wide["params"]["lr"] > 1e-3
+        assert wide["loss"] < adam_best
+        assert wide["loss"] < val["study_seed"]["adam_default"]
