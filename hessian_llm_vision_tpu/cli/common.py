@@ -402,7 +402,7 @@ def add_common_args(parser) -> None:
     (accum.py:15-28, gpt2_savehessian.py:12-19, train_savespec.py:23-42)."""
     parser.add_argument("--model", default="gpt2-tiny",
                         help="gpt2 | gpt2-tiny | pythia-70m | pythia-160m | "
-                        "pythia-1.4b | llama-tiny | llama-micro | llama-7b | "
+                        "pythia-1.4b | llama-tiny | llama-micro | llama-134m | llama-7b | "
                         "spiral | simplenet | vgg16 | resnet50")
     parser.add_argument("--dataset", default="random",
                         help="wikipedia | random | markov | local:<path> "

@@ -76,6 +76,14 @@ LLAMA_CONFIGS = {
         num_layers=4, num_heads=8, num_kv_heads=8,
         max_position_embeddings=512,
     ),
+    # GPT-2-124M-class LLaMA (P = 134M: 2x32000x768 untied embeddings +
+    # 12 layers of 4h^2 MHA + 3xh x 2048 SwiGLU) — the single-chip
+    # at-scale spectrum workload for this family (artifacts/llama134m_r3)
+    "llama-134m": LlamaConfig(
+        vocab_size=32000, hidden_size=768, intermediate_size=2048,
+        num_layers=12, num_heads=12, num_kv_heads=12,
+        max_position_embeddings=512,
+    ),
     "llama-7b": LlamaConfig(),  # 4096/11008/32L/32H MHA
 }
 

@@ -200,3 +200,26 @@ def test_causal_lm_loss_include_padding():
     logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32))
     tll = jnp.take_along_axis(logp, ids[:, 1:][..., None], -1).squeeze(-1)
     np.testing.assert_allclose(float(unmasked), float(-tll.mean()), rtol=1e-6)
+
+
+def test_llama_134m_param_count(key):
+    """llama-134m is the GPT-2-124M-class LLaMA: 2x32000x768 untied
+    embeddings + 12 layers of (4*768^2 MHA + 3*768*2048 SwiGLU + 2 RMSNorm)
+    + final norm = 134,105,856 params (the at-scale spectrum workload for
+    this family, artifacts/llama134m_r3)."""
+    from hessian_llm_vision_tpu.models.llama import LLAMA_CONFIGS, LlamaLMHead
+
+    cfg = LLAMA_CONFIGS["llama-134m"]
+    params = LlamaLMHead(cfg).init_params(key, seq_len=8)
+    expected = (
+        2 * cfg.vocab_size * cfg.hidden_size
+        + cfg.num_layers
+        * (
+            4 * cfg.hidden_size**2
+            + 3 * cfg.hidden_size * cfg.intermediate_size
+            + 2 * cfg.hidden_size
+        )
+        + cfg.hidden_size
+    )
+    assert expected == 134_105_856
+    assert tree_size(params) == expected
