@@ -37,8 +37,70 @@ def _enable_compile_cache() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def _wait_for_backend(max_wait_s: float = 900.0) -> None:
+    """Survive a TPU-tunnel outage instead of crashing without output.
+
+    The axon backend occasionally drops (observed: ``jax.devices()`` hangs
+    minutes then raises UNAVAILABLE).  A bench crash loses the round's
+    measurement entirely, so probe the backend in a SUBPROCESS (a failed
+    in-process backend init is cached by jax and never retried), retry for
+    a bounded window, and emit one parseable JSON line before giving up.
+    """
+    import os
+    import subprocess
+    import sys
+
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=max(60.0, min(300.0, deadline - time.monotonic())),
+                capture_output=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            if probe.returncode == 0:
+                return
+            err = probe.stderr.decode(errors="replace").strip().splitlines()
+            err = err[-1] if err else "unknown"
+        except subprocess.TimeoutExpired:
+            err = "backend probe timed out"
+        if time.monotonic() >= deadline:
+            print(
+                json.dumps(
+                    {
+                        "metric": (
+                            "gpt2_124m_35iter_lanczos_spectrum_"
+                            "wallclock_single_chip"
+                        ),
+                        "value": None,
+                        "unit": "seconds",
+                        "vs_baseline": None,
+                        "extra": {
+                            "error": (
+                                f"TPU backend unavailable after "
+                                f"{max_wait_s:.0f}s ({attempt} probes): {err}"
+                            ),
+                            "last_good": "see BENCH_r02.json / README round-3 "
+                            "table (20.1 s mixed, 6.96 HVP/s)",
+                        },
+                    }
+                )
+            )
+            sys.exit(1)
+        print(
+            f"[bench] backend unavailable (probe {attempt}: {err}); "
+            "retrying in 60s",
+            file=sys.stderr,
+        )
+        time.sleep(60.0)
+
+
 def main() -> None:
     _enable_compile_cache()
+    _wait_for_backend()
     from hessian_llm_vision_tpu.curvature import DatasetHessianOperator
     from hessian_llm_vision_tpu.krylov import lanczos, ritz_decomposition
     from hessian_llm_vision_tpu.models import GPT2Config, GPT2LMHead, losses
