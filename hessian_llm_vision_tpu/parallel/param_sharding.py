@@ -21,15 +21,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from hessian_llm_vision_tpu.utils.trees import _key_str
 
-# (path regex, spec) — first match wins; names match both GPT-2 and NeoX
-# module trees ('/'-joined).  Kernels are (in, out).
+# (path regex, spec) — first match wins; names match the GPT-2, NeoX and
+# LLaMA module trees ('/'-joined).  Kernels are (in, out).  LLaMA
+# (models/llama.py): q/k/v and SwiGLU gate/up are fan-out (column-parallel;
+# GQA k/v just shard their smaller Hk*D fan-out), o_proj/down_proj are
+# fan-in (row-parallel), embed_tokens/lm_head are vocab-parallel like
+# wte/embed_out.
 DEFAULT_TP_RULES: Sequence[Tuple[str, P]] = (
     (r".*(c_attn|query_key_value|c_fc|dense_h_to_4h)/kernel$", P(None, "model")),
     (r".*(c_attn|query_key_value|c_fc|dense_h_to_4h)/bias$", P("model")),
     (r".*(attn/c_proj|attention/dense|mlp/c_proj|dense_4h_to_h)/kernel$", P("model", None)),
-    (r".*(wte|embed_in)$", P("model", None)),  # vocab-parallel embedding
-    (r".*embed_out/kernel$", P(None, "model")),
-    (r".*", P()),  # everything else replicated (LNs, biases, wpe)
+    (r".*(q_proj|k_proj|v_proj|gate_proj|up_proj)/kernel$", P(None, "model")),
+    (r".*(o_proj|down_proj)/kernel$", P("model", None)),
+    (r".*(wte|embed_in|embed_tokens)$", P("model", None)),  # vocab-parallel
+    (r".*(embed_out|lm_head)/kernel$", P(None, "model")),
+    (r".*", P()),  # everything else replicated (LNs/RMSNorms, biases, wpe)
 )
 
 
