@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vector_seed", type=int, default=997)
     p.add_argument("--probes", type=int, default=1,
                    help=">1: in-process multi-probe SLQ averaging (d.sh grid)")
+    p.add_argument("--hutchpp", type=int, default=0, metavar="M",
+                   help="also estimate tr(H) with Hutch++ using M matvecs "
+                   "(krylov/trace.py; O(1/M) error vs SLQ's per-probe "
+                   "variance). In-core operator paths only")
     p.add_argument("--layer", default=None,
                    help="restrict to parameter subtree whose path contains this")
     p.add_argument("--layerwise", action="store_true",
@@ -378,6 +382,18 @@ def main(argv=None):
         )
         spec = ritz_decomposition(res, with_vectors=args.basis)
     wall = time.time() - t0
+    if args.hutchpp:
+        from hessian_llm_vision_tpu.krylov import hutchpp_trace
+
+        t1 = time.time()
+        # vmapped=False: probes loop over the one cached matvec program
+        # (flat memory — the krylov/driver.py host-loop discipline)
+        tr = hutchpp_trace(
+            jax.jit(op.matvec), op.dim, args.hutchpp,
+            jax.random.PRNGKey(args.vector_seed + 1), vmapped=False,
+        )
+        print(f"trace (hutch++ {args.hutchpp} matvecs) = {float(tr):.6e} "
+              f"({time.time() - t1:.2f}s)")
     _report_and_outputs(args, spec, wall, op.dim, hvp_batches)
     return spec
 

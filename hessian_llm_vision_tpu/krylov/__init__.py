@@ -23,6 +23,7 @@ from hessian_llm_vision_tpu.krylov.slq import (
 )
 from hessian_llm_vision_tpu.krylov.power import power_iteration
 from hessian_llm_vision_tpu.krylov.cg import cg_solve
+from hessian_llm_vision_tpu.krylov.trace import hutchinson_trace, hutchpp_trace
 
 __all__ = [
     "lanczos",
@@ -39,6 +40,8 @@ __all__ = [
     "Spectrum",
     "power_iteration",
     "cg_solve",
+    "hutchinson_trace",
+    "hutchpp_trace",
     "ritz_relative_error",
     "density_overlap",
     "summarize",

