@@ -442,6 +442,14 @@ def _report_and_outputs(args, spec, wall, dim, num_batches):
         err = ritz_relative_error(spec, other, top_k=5)
         print(f"top-5 Ritz max relative error vs {args.compare_to}: {err:.2e}")
         print(f"density overlap: {density_overlap(spec, other):.4f}")
+        if spec.ritz_vectors is not None and other.ritz_vectors is not None:
+            from hessian_llm_vision_tpu.krylov import subspace_overlap
+
+            ov = subspace_overlap(
+                np.asarray(spec.ritz_vectors), np.asarray(other.ritz_vectors)
+            )
+            print(f"Ritz subspace overlap (mean cos^2 principal angles): "
+                  f"{ov:.4f}")
 
 
 def _layerwise_main(args, wl):

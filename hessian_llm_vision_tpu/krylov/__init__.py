@@ -11,6 +11,7 @@ from hessian_llm_vision_tpu.krylov.driver import (
 from hessian_llm_vision_tpu.krylov.compare import (
     ritz_relative_error,
     density_overlap,
+    subspace_overlap,
     summarize,
 )
 from hessian_llm_vision_tpu.krylov.slq import (
@@ -44,5 +45,6 @@ __all__ = [
     "hutchpp_trace",
     "ritz_relative_error",
     "density_overlap",
+    "subspace_overlap",
     "summarize",
 ]

@@ -62,3 +62,22 @@ def summarize(spec: Spectrum) -> dict:
         "trace_estimate": float(np.dot(np.asarray(spec.eigvals), ga)),
         "weight_sum": float(ga.sum()),
     }
+
+
+def subspace_overlap(va: np.ndarray, vb: np.ndarray) -> float:
+    """Mean squared cosine of the principal angles between the row-spaces
+    of two (k, P) Ritz bases, in [0, 1].
+
+    1.0 = identical subspaces, ~k/P for independent random ones.  This is
+    the quantitative form of the reference's by-eye eigenvector comparisons
+    (ipynbs/visual-eigen.ipynb) and the working quantity of the forgetting
+    experiment (load_model.py:325-364): projection suppresses task-A motion
+    exactly to the extent task B's gradient subspace overlaps task A's
+    saved eigenbasis.
+    """
+    va = np.asarray(va, np.float64)
+    vb = np.asarray(vb, np.float64)
+    qa, _ = np.linalg.qr(va.T)  # (P, ka) orthonormal columns
+    qb, _ = np.linalg.qr(vb.T)
+    s = np.linalg.svd(qa.T @ qb, compute_uv=False)  # cos(principal angles)
+    return float(np.sum(s**2) / min(qa.shape[1], qb.shape[1]))

@@ -39,3 +39,23 @@ def test_summarize(rng):
     assert info["lambda_max"] == 5.0
     np.testing.assert_allclose(info["trace_estimate"], 0.2 + 0.6 + 2.5)
     np.testing.assert_allclose(info["weight_sum"], 1.0)
+
+
+def test_subspace_overlap():
+    from hessian_llm_vision_tpu.krylov import subspace_overlap
+
+    rng = np.random.default_rng(0)
+    P, k = 200, 5
+    v = rng.standard_normal((k, P))
+    # identical subspace, even under rotation + rescaling of the basis
+    rot = np.linalg.qr(rng.standard_normal((k, k)))[0]
+    np.testing.assert_allclose(subspace_overlap(v, 3.7 * rot @ v), 1.0, atol=1e-10)
+    # orthogonal coordinate subspaces
+    a = np.eye(P)[:k]
+    b = np.eye(P)[k : 2 * k]
+    np.testing.assert_allclose(subspace_overlap(a, b), 0.0, atol=1e-12)
+    # independent random subspaces concentrate near k/P
+    w = rng.standard_normal((k, P))
+    assert subspace_overlap(v, w) < 5 * k / P
+    # different ranks: a (2,P) slice of v lies inside span(v)
+    np.testing.assert_allclose(subspace_overlap(v[:2], v), 1.0, atol=1e-10)
