@@ -219,6 +219,29 @@ def main(argv=None):
     basis = spec.ritz_vectors
     print(f"task A eigenbasis: k={args.k}, lambda_max={float(spec.eigvals[-1]):.3f}")
 
+    # task-similarity diagnostic: principal-angle overlap between task A's
+    # and task B's curvature eigenbases at the same point.  High overlap
+    # means the directions that encode A are the ones B needs — projection
+    # then blocks learning B and eventually hurts A too (the committed
+    # disjoint-spirals negative); low overlap predicts sustained
+    # suppression (the permuted-MNIST positive).  Quantifies
+    # load_model.py:325-364's implicit assumption.
+    from hessian_llm_vision_tpu.krylov import subspace_overlap
+
+    n_probe = min(len(xb), len(xa))
+    op_b = HessianOperator(
+        loss_fn, params_a,
+        (jnp.asarray(xb[:n_probe]), jnp.asarray(yb[:n_probe])), flattener=fl,
+    )
+    res_b = lanczos(
+        op_b.matvec, op_b.dim, args.k, key=jax.random.fold_in(key, 2),
+        reorth=True,
+    )
+    basis_b = ritz_decomposition(res_b, with_vectors=True).ritz_vectors
+    ab_overlap = subspace_overlap(np.asarray(basis), np.asarray(basis_b))
+    print(f"task A/B eigenbasis overlap (mean cos^2 principal angles): "
+          f"{ab_overlap:.4f} (~{args.k}/P={args.k / op.dim:.1e} if unrelated)")
+
     # phase 1: baseline SGD on task B, tracking task-A accuracy.
     # --linear_decay_b = the reference's task-B schedule: lr decays to 0
     # across the phase (load_model.py:217-219), bounding total drift.
@@ -259,6 +282,7 @@ def main(argv=None):
             acc_a0=acc_a0,
             acc_b_base=acc_b_base,
             acc_b_proj=acc_b_proj,
+            ab_overlap=ab_overlap,
         )
         print(f"curves -> {args.out_curves}")
     return curve_base, curve_proj

@@ -127,6 +127,8 @@ def test_forget_cli(tmp_path):
     assert len(base) == 15 and len(proj) == 15
     with np.load(out) as z:
         assert "baseline_drop" in z and "method_results" in z
+        # task-similarity diagnostic saved alongside the curves
+        assert 0.0 <= float(z["ab_overlap"]) <= 1.0
 
 
 def test_devices_info_cli(capsys):
