@@ -17,6 +17,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Zero-egress environment: make HF hub attempts fail IMMEDIATELY instead of
+# burning retry timeouts (the loud-fallback test alone spent 415 s of the
+# 26-min suite waiting on HTTP retries; offline mode raises at once and the
+# code paths under test — loud SystemExit / --allow_fallback — are the same)
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
