@@ -210,7 +210,10 @@ def test_llama_134m_param_count(key):
     from hessian_llm_vision_tpu.models.llama import LLAMA_CONFIGS, LlamaLMHead
 
     cfg = LLAMA_CONFIGS["llama-134m"]
-    params = LlamaLMHead(cfg).init_params(key, seq_len=8)
+    # eval_shape: count without materializing 134M params on the test CPU
+    params = jax.eval_shape(
+        lambda k: LlamaLMHead(cfg).init_params(k, seq_len=8), key
+    )
     expected = (
         2 * cfg.vocab_size * cfg.hidden_size
         + cfg.num_layers
