@@ -36,6 +36,12 @@ def test_spectrum_cli_host_loop_and_compare(tmp_path, capsys):
     out_text = capsys.readouterr().out
     assert "relative error" in out_text
 
+    # with bases on both sides, --compare_to also reports subspace overlap
+    outb = str(tmp_path / "specb")
+    spectrum.main(args + ["--basis", "--out_spectrum", outb])
+    spectrum.main(args + ["--basis", "--compare_to", outb + ".npz"])
+    assert "subspace overlap" in capsys.readouterr().out
+
 
 def test_spectrum_cli_layerwise(capsys):
     from hessian_llm_vision_tpu.cli import spectrum
