@@ -92,8 +92,8 @@ def _lm_batches(args, vocab_size) -> list:
             print(f"[data] wikipedia unavailable ({type(e).__name__}); "
                   "falling back to seeded random tokens (--allow_fallback)")
     if not made:
-        nb = getattr(args, "num_batches", None)
-        n_batches = 4 if nb is None else max(1, int(nb))
+        # 0/None = default size (synthetic data has no natural "whole")
+        n_batches = max(1, int(getattr(args, "num_batches", None) or 4))
         if args.dataset == "markov":
             from hessian_llm_vision_tpu.data import markov_token_batches
 
@@ -350,13 +350,14 @@ def build_workload(args) -> Workload:
                 x, y = get_class_subset(x, y, args.classes)
             n_take = int(len(x) * args.subsample) or args.batch_size
             # --num_batches caps real vision data too (same flag semantics
-            # as the LM/local-corpus paths)
-            if args.num_batches is not None:
+            # as the LM/local-corpus paths: 0/None = no cap, never empty)
+            if args.num_batches:
                 n_take = min(n_take, int(args.num_batches) * args.batch_size)
             x, y = x[:n_take], y[:n_take]
             num_classes = len(args.classes) if args.classes else 10
         else:
-            nb = 4 if args.num_batches is None else max(1, int(args.num_batches))
+            # 0/None = default size (synthetic data has no natural "whole")
+            nb = max(1, int(args.num_batches or 4))
             xb, yb = random_image_batches(nb, args.batch_size, seed=args.data_seed)
             x = xb.reshape(-1, 32, 32, 3)
             y = yb.reshape(-1)
@@ -456,6 +457,21 @@ def add_common_args(parser) -> None:
     parser.add_argument("--out", default="runs")
     parser.add_argument("--cpu", action="store_true",
                         help="force CPU backend (useful under the TPU tunnel)")
+
+
+def resolve_mixed_precision(args, attr: str) -> None:
+    """Expand the 'mixed' precision sugar on ``args.<attr>`` in place.
+
+    ONE definition for every CLI (spectrum --hvp_precision, train
+    --refresh_precision): 'mixed' = outer context (embeddings + vocab head
+    + loss) 'high' (bf16x3) with the transformer blocks at 'default'
+    (1-pass bf16) — the blocks carry ~71% of HVP FLOPs and tolerate it
+    (extreme-Ritz err <=5e-4 measured; bench.py cross-checks every run).
+    """
+    if getattr(args, attr, None) == "mixed":
+        setattr(args, attr, "high")
+        if not getattr(args, "block_precision", None):
+            args.block_precision = "default"
 
 
 def maybe_force_cpu(args) -> None:

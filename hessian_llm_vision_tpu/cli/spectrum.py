@@ -27,6 +27,7 @@ from hessian_llm_vision_tpu.cli.common import (
     add_common_args,
     build_workload,
     maybe_force_cpu,
+    resolve_mixed_precision,
 )
 
 
@@ -173,12 +174,7 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     maybe_force_cpu(args)
 
-    if args.hvp_precision == "mixed":
-        # sugar: outer context (embeddings + vocab head + loss) 'high',
-        # transformer blocks 'default' — blocks carry ~71% of HVP FLOPs
-        args.hvp_precision = "high"
-        if not getattr(args, "block_precision", None):
-            args.block_precision = "default"
+    resolve_mixed_precision(args, "hvp_precision")
 
     from hessian_llm_vision_tpu.io import save_spectrum, save_tridiag
     from hessian_llm_vision_tpu.krylov import (
@@ -190,6 +186,18 @@ def main(argv=None):
     from hessian_llm_vision_tpu.krylov.slq import slq_multi_probe
 
     wl = build_workload(args)
+
+    # loud-flags policy: error on silently-dropped combinations instead of
+    # running a job that never produces the asked-for output
+    if args.hutchpp and (args.host_loop or args.layerwise):
+        raise SystemExit(
+            "--hutchpp applies to the in-core operator paths only "
+            "(drop --host_loop/--layerwise, or use krylov.trace directly "
+            "with a host-loop matvec)"
+        )
+    if args.qprev_bf16 and not args.fused_step:
+        raise SystemExit("--qprev_bf16 requires --fused_step (the plain "
+                         "host loop keeps all flat vectors f32)")
 
     if args.layerwise:
         return _layerwise_main(args, wl)

@@ -20,6 +20,7 @@ from hessian_llm_vision_tpu.cli.common import (
     add_common_args,
     build_workload,
     maybe_force_cpu,
+    resolve_mixed_precision,
 )
 
 
@@ -93,13 +94,9 @@ def main(argv=None) -> float:
     args = build_parser().parse_args(argv)
     maybe_force_cpu(args)
 
-    if args.refresh_precision == "mixed":
-        # sugar (mirrors cli.spectrum --hvp_precision mixed): refresh HVPs
-        # run blocks at 'default' + vocab head at 'high'; the plain grad
-        # step already runs at ambient 'default' precision either way
-        args.refresh_precision = "high"
-        if not getattr(args, "block_precision", None):
-            args.block_precision = "default"
+    # refresh HVPs run blocks 'default' + vocab head 'high'; the plain
+    # grad step already runs at ambient 'default' precision either way
+    resolve_mixed_precision(args, "refresh_precision")
 
     from hessian_llm_vision_tpu.io import run_dir_name, save_checkpoint
     from hessian_llm_vision_tpu.obs import (

@@ -209,7 +209,9 @@ def single_batch_spectrum_host_fused(
             )
     return LanczosResult(
         alphas=jnp.stack(alphas).astype(jnp.float32),
-        betas=jnp.stack(betas[:-1]).astype(jnp.float32),
+        # num_iters=1 leaves no off-diagonal entries; stack() rejects []
+        betas=(jnp.stack(betas[:-1]).astype(jnp.float32)
+               if len(betas) > 1 else jnp.zeros((0,), jnp.float32)),
         basis=None,
     )
 
@@ -350,7 +352,9 @@ def bigmodel_spectrum_host(
             )
     return LanczosResult(
         alphas=jnp.stack(alphas).astype(jnp.float32),
-        betas=jnp.stack(betas[:-1]).astype(jnp.float32),
+        # num_iters=1 leaves no off-diagonal entries; stack() rejects []
+        betas=(jnp.stack(betas[:-1]).astype(jnp.float32)
+               if len(betas) > 1 else jnp.zeros((0,), jnp.float32)),
         basis=None,
     )
 
@@ -524,6 +528,8 @@ def dataset_spectrum_host(
             )
     return LanczosResult(
         alphas=jnp.stack(alphas).astype(jnp.float32),
-        betas=jnp.stack(betas[:-1]).astype(jnp.float32),
+        # num_iters=1 leaves no off-diagonal entries; stack() rejects []
+        betas=(jnp.stack(betas[:-1]).astype(jnp.float32)
+               if len(betas) > 1 else jnp.zeros((0,), jnp.float32)),
         basis=None,
     )

@@ -61,7 +61,6 @@ def _normalize(v: jax.Array) -> jax.Array:
 
 
 @jax.jit
-@jax.jit
 def host_recurrence_step(w, q_cur, q_prev, beta_prev):
     """One Lanczos three-term update on device, for host-driven loops.
 

@@ -69,16 +69,26 @@ def causal_attention(
 ) -> jax.Array:
     """Causal softmax attention.  q, k, v: (B, T, H, D) -> (B, T, H, D).
 
-    ``block_q``: query-block size for the memory-light scan path; ``None``
-    (or a block that does not divide T) selects the dense path.  Both
-    paths are numerically identical up to matmul precision (parity-tested
-    to <=1e-5 in logits/grad/HVP by tests/unit/test_blockwise.py).
+    ``block_q``: query-block size for the memory-light scan path.  ``None``
+    selects the dense path; ``block_q >= T`` also runs dense (one block
+    with the scan/remat wrapping removed — the measured-fastest setting
+    when the working set fits, see bench.py).  A block that does not
+    divide T is an ERROR: silently falling back to dense would defeat the
+    memory plan the flag exists for, at exactly the scales where that
+    OOMs.  Both paths are numerically identical up to matmul precision
+    (parity-tested to <=1e-5 in logits/grad/HVP by
+    tests/unit/test_blockwise.py).
     """
     B, T, H, D = q.shape
     scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32))
     out_dtype = v.dtype
-    if block_q is None or block_q >= T or T % block_q != 0:
+    if block_q is None or block_q >= T:
         return _dense_causal(q, k, v, scale, out_dtype)
+    if T % block_q != 0:
+        raise ValueError(
+            f"attn block_q={block_q} does not divide seq_len={T}; pick a "
+            "divisor (or >= seq_len for the dense single-block path)"
+        )
 
     nb = T // block_q
     q_blocks = q.reshape(B, nb, block_q, H, D).transpose(1, 0, 2, 3, 4)

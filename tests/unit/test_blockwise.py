@@ -77,9 +77,13 @@ def test_causal_attention_block_vs_dense():
     np.testing.assert_allclose(np.asarray(gd), np.asarray(gb), atol=1e-5, rtol=1e-5)
 
 
-def test_causal_attention_indivisible_block_falls_back_dense():
+def test_causal_attention_oversized_block_is_dense():
+    """block_q >= T is the documented dense single-block path; a block
+    that does not divide T is now an ERROR (see
+    test_block_q_must_divide_seq_len) instead of the old silent dense
+    fallback, which defeated the memory plan at OOM scales."""
     q, k, v = jax.random.normal(jax.random.PRNGKey(1), (3, B, 60, 2, 8))
-    out = causal_attention(q, k, v, block_q=16)  # 60 % 16 != 0 -> dense
+    out = causal_attention(q, k, v, block_q=64)  # 64 >= 60 -> dense
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(causal_attention(q, k, v)), atol=0, rtol=0
     )
@@ -217,3 +221,18 @@ def test_block_matmul_precision_plumbing(make):
     hp = hvp(loss_p, params, batch, vec)
     hm = hvp(loss_m, params, batch, vec)
     _hvp_close(hp, hm, 1e-6)
+
+
+def test_block_q_must_divide_seq_len(key):
+    """A non-divisor block_q is an error, not a silent dense fallback
+    (it would defeat the memory plan at exactly the scales that OOM)."""
+    import pytest
+
+    from hessian_llm_vision_tpu.models.attention import causal_attention
+
+    q = jax.random.normal(key, (1, 12, 2, 4))
+    with pytest.raises(ValueError, match="does not divide"):
+        causal_attention(q, q, q, block_q=5)
+    # block_q >= T stays the (documented) dense single-block path
+    out = causal_attention(q, q, q, block_q=16)
+    assert out.shape == q.shape

@@ -452,3 +452,39 @@ def test_spectrum_cli_hutchpp(capsys):
     m = re.search(r"trace \(hutch\+\+ 24 matvecs\) = ([-\d.e+]+)", out)
     assert m, out
     assert np.isfinite(float(m.group(1)))
+
+
+def test_loud_flag_combinations():
+    """Silently-dropped flag combos are errors (code-review r3)."""
+    from hessian_llm_vision_tpu.cli import spectrum
+
+    base = ["--model", "spiral", "--lanczos_iters", "3", "--batch_size",
+            "16", "--num_points", "60", "--cpu"]
+    with pytest.raises(SystemExit):
+        spectrum.main(base + ["--hutchpp", "9", "--host_loop"])
+    with pytest.raises(SystemExit):
+        spectrum.main(base + ["--qprev_bf16"])
+
+
+def test_host_loop_single_iteration():
+    """num_iters=1 must return a valid T (empty betas guard)."""
+    from hessian_llm_vision_tpu.cli import spectrum
+
+    spec = spectrum.main([
+        "--model", "spiral", "--lanczos_iters", "1", "--batch_size", "16",
+        "--num_points", "60", "--host_loop", "--cpu",
+    ])
+    assert spec.eigvals.shape == (1,)
+
+
+def test_vision_num_batches_zero_means_uncapped():
+    """--num_batches 0 = no cap (matches the LM local-corpus semantics),
+    never an empty workload."""
+    from hessian_llm_vision_tpu.cli import common
+    from hessian_llm_vision_tpu.cli.spectrum import build_parser
+
+    wl = common.build_workload(build_parser().parse_args([
+        "--model", "simplenet", "--num_batches", "0", "--batch_size", "8",
+        "--subsample", "0.01", "--cpu",
+    ]))
+    assert len(wl.batches) >= 1
