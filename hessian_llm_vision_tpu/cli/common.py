@@ -126,6 +126,17 @@ def _lm_batches(args, vocab_size) -> list:
     ]
 
 
+def _cfg_overrides(cfg, attn_blk, block_prec, bf16=False):
+    """Apply the shared LM config flags (one site for all three families)."""
+    if bf16:
+        cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
+    if attn_blk:
+        cfg = dataclasses.replace(cfg, attn_block_q=attn_blk)
+    if block_prec:
+        cfg = dataclasses.replace(cfg, block_matmul_precision=block_prec)
+    return cfg
+
+
 def build_workload(args) -> Workload:
     from hessian_llm_vision_tpu.models import (
         GPT2Config,
@@ -155,10 +166,7 @@ def build_workload(args) -> Workload:
                 dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
             )
         )
-        if attn_blk:
-            cfg = dataclasses.replace(cfg, attn_block_q=attn_blk)
-        if block_prec:
-            cfg = dataclasses.replace(cfg, block_matmul_precision=block_prec)
+        cfg = _cfg_overrides(cfg, attn_blk, block_prec)
         model = GPT2LMHead(cfg)
         params = model.init_params(key, seq_len=min(16, args.max_length))
         if args.checkpoint:
@@ -185,13 +193,10 @@ def build_workload(args) -> Workload:
         )
 
     if name.startswith("pythia"):
-        cfg = PYTHIA_CONFIGS[name]
-        if args.bf16:
-            cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
-        if attn_blk:
-            cfg = dataclasses.replace(cfg, attn_block_q=attn_blk)
-        if block_prec:
-            cfg = dataclasses.replace(cfg, block_matmul_precision=block_prec)
+        cfg = _cfg_overrides(
+            cfg=PYTHIA_CONFIGS[name], attn_blk=attn_blk,
+            block_prec=block_prec, bf16=args.bf16,
+        )
         model = NeoXLMHead(cfg)
         params = model.init_params(key, seq_len=min(16, args.max_length))
         if args.checkpoint:
@@ -220,13 +225,10 @@ def build_workload(args) -> Workload:
     if name.startswith("llama"):
         from hessian_llm_vision_tpu.models import LLAMA_CONFIGS, LlamaLMHead
 
-        cfg = LLAMA_CONFIGS[name]
-        if args.bf16:
-            cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
-        if attn_blk:
-            cfg = dataclasses.replace(cfg, attn_block_q=attn_blk)
-        if block_prec:
-            cfg = dataclasses.replace(cfg, block_matmul_precision=block_prec)
+        cfg = _cfg_overrides(
+            cfg=LLAMA_CONFIGS[name], attn_blk=attn_blk,
+            block_prec=block_prec, bf16=args.bf16,
+        )
         model = LlamaLMHead(cfg)
         params = model.init_params(key, seq_len=min(16, args.max_length))
         if args.checkpoint:
