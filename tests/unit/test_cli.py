@@ -467,7 +467,8 @@ def test_loud_flag_combinations():
 
 
 def test_host_loop_single_iteration():
-    """num_iters=1 must return a valid T (empty betas guard)."""
+    """num_iters=1 must return a valid T in all three host-loop variants
+    (empty-betas guard; the fused/bigmodel >1B paths crashed here)."""
     from hessian_llm_vision_tpu.cli import spectrum
 
     spec = spectrum.main([
@@ -475,6 +476,11 @@ def test_host_loop_single_iteration():
         "--num_points", "60", "--host_loop", "--cpu",
     ])
     assert spec.eigvals.shape == (1,)
+    lm = ["--model", "gpt2-tiny", "--lanczos_iters", "1", "--batch_size",
+          "2", "--max_length", "16", "--num_batches", "1", "--host_loop",
+          "--cpu"]
+    assert spectrum.main(lm + ["--fused_step"]).eigvals.shape == (1,)
+    assert spectrum.main(lm + ["--bigmodel"]).eigvals.shape == (1,)
 
 
 def test_vision_num_batches_zero_means_uncapped():
