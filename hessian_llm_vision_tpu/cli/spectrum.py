@@ -402,6 +402,9 @@ def main(argv=None):
         )
         print(f"trace (hutch++ {args.hutchpp} matvecs) = {float(tr):.6e} "
               f"({time.time() - t1:.2f}s)")
+        # machine-readable too: lands in the npz as meta_hutchpp_trace
+        args._extra_meta = {"hutchpp_trace": float(tr),
+                            "hutchpp_matvecs": args.hutchpp}
     _report_and_outputs(args, spec, wall, op.dim, hvp_batches)
     return spec
 
@@ -432,6 +435,7 @@ def _report_and_outputs(args, spec, wall, dim, num_batches):
                 iters=args.lanczos_iters,
                 subsample=args.subsample,
                 vector_seed=args.vector_seed,
+                **getattr(args, "_extra_meta", {}),
             )
             print(f"spectrum -> {args.out_spectrum}.npz"
                   if not args.out_spectrum.endswith(".npz")
