@@ -372,6 +372,7 @@ def layerwise_spectrum_host(
     flattener: Optional[Flattener] = None,
     min_size: int = 2,
     progress: bool = False,
+    group_regex: Optional[str] = None,
 ):
     """Per-leaf block-diagonal spectra at LLM scale, host-driven.
 
@@ -380,6 +381,11 @@ def layerwise_spectrum_host(
     per-layer λmax/λmin table of
     /root/reference/lanczostrain_layer_hand.py:183-185 /
     gpt2_savehessian_layer.py at any model size this backend can HVP.
+
+    ``group_regex``: merge leaves into one block per regex group (e.g.
+    ``trees.BLOCK_GROUP_REGEX`` for one spectrum per transformer block —
+    the reference's per-block sweep, ipynbs/visual-eigen.ipynb cell 12);
+    non-matching leaves are skipped.
     """
     from hessian_llm_vision_tpu.utils import trees
 
@@ -393,6 +399,8 @@ def layerwise_spectrum_host(
     mhvp = _jitted_masked_batch_hvp(loss_fn, per_batch_norm, precision, fl)
 
     labels, spans = trees.partition_labels(params)
+    if group_regex is not None:
+        labels, spans = trees.group_spans(labels, spans, group_regex)
     results = {}
     for li, (label, (off, size)) in enumerate(zip(labels, spans)):
         if size < min_size:

@@ -85,3 +85,49 @@ def partition_labels(
     offsets = np.concatenate([[0], np.cumsum(sizes)])
     spans = [(int(o), int(s)) for o, s in zip(offsets[:-1], sizes)]
     return labels, spans
+
+
+#: Matches one repeated-block path component (``h_3``, ``blocks_0``,
+#: ``layers_11``) — the "model.transformer.h[i]" grouping of the reference's
+#: per-block eigenvalue sweep (ipynbs/visual-eigen.ipynb cell 12).
+BLOCK_GROUP_REGEX = r"(?:^|/)((?:h|blocks|layers)_\d+)(?:/|$)"
+
+
+def group_spans(
+    labels: List[str],
+    spans: List[Tuple[int, int]],
+    regex: str,
+) -> Tuple[List[str], List[Tuple[int, int]]]:
+    """Merge per-leaf flat-vector spans into per-group contiguous spans.
+
+    ``regex`` is searched against each leaf label; the group label is capture
+    group 1 (or the whole match).  Leaves that do not match are dropped —
+    mirroring the reference's block sweep, which iterates
+    ``model.transformer.h`` only (skipping embeddings/head;
+    ipynbs/visual-eigen.ipynb cell 12).  Because flatten order is depth-first,
+    the leaves of one subtree are adjacent in ℝᴾ; a non-contiguous group
+    (regex spanning unrelated subtrees) is an error.
+    """
+    import re
+
+    pat = re.compile(regex)
+    order: List[str] = []
+    merged: dict = {}
+    for label, (off, size) in zip(labels, spans):
+        m = pat.search(label)
+        if not m:
+            continue
+        g = m.group(1) if m.groups() else m.group(0)
+        if g not in merged:
+            order.append(g)
+            merged[g] = (off, size)
+        else:
+            o0, s0 = merged[g]
+            if o0 + s0 != off:
+                raise ValueError(
+                    f"group {g!r} is non-contiguous in flatten order "
+                    f"(leaf {label!r} at offset {off}, group ends at {o0 + s0}); "
+                    "a group must be one parameter subtree"
+                )
+            merged[g] = (o0, s0 + size)
+    return order, [merged[g] for g in order]

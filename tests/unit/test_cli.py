@@ -319,6 +319,30 @@ def test_train_cli_lanczos_layer_host(tmp_path):
     assert np.isfinite(loss)
 
 
+def test_spectrum_cli_layerwise_block(tmp_path, capsys):
+    """--layerwise_group block: one spectrum per transformer block h_i, the
+    visual-eigen.ipynb cell-12 sweep + cell-13 grid plot, both paths."""
+    from hessian_llm_vision_tpu.cli import spectrum
+
+    plot = str(tmp_path / "grid.png")
+    args = [
+        "--model", "gpt2-tiny", "--lanczos_iters", "4", "--batch_size", "2",
+        "--num_batches", "1", "--max_length", "16",
+        "--layerwise", "--layerwise_group", "block", "--plot", plot,
+        "--out_spectrum", str(tmp_path / "blk"),
+    ]
+    res = spectrum.main(args)
+    assert set(res) == {"h_0", "h_1"}  # embeddings/head skipped, as cell 12
+    assert os.path.exists(plot)
+    assert os.path.exists(str(tmp_path / "blk_h_0.npz"))
+    res_host = spectrum.main(args[:-4] + ["--host_loop"])
+    assert set(res_host) == {"h_0", "h_1"}
+    for k in res:
+        lam = float(np.max(np.asarray(res[k].eigvals)))
+        lam_h = float(np.max(np.asarray(res_host[k].eigvals)))
+        assert np.isfinite(lam) and np.isfinite(lam_h)
+
+
 def test_spectrum_cli_layerwise_host_loop(capsys):
     """--layerwise --host_loop: one masked-HVP program for every leaf."""
     from hessian_llm_vision_tpu.cli import spectrum

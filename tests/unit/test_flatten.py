@@ -70,6 +70,26 @@ def test_subtree_mask_and_spans(key):
     assert sum(s for _, s in spans) == tree_size(t)
 
 
+def test_group_spans():
+    """Per-block span merging (visual-eigen.ipynb cell-12 grouping)."""
+    import pytest
+
+    labels = [
+        "params/h_0/attn/kernel", "params/h_0/mlp/kernel",
+        "params/h_1/attn/kernel", "params/h_1/mlp/kernel",
+        "params/wte",
+    ]
+    spans = [(0, 10), (10, 4), (14, 10), (24, 4), (28, 100)]
+    glabels, gspans = trees.group_spans(labels, spans, trees.BLOCK_GROUP_REGEX)
+    assert glabels == ["h_0", "h_1"]          # wte skipped, order preserved
+    assert gspans == [(0, 14), (14, 14)]      # leaf spans merged per block
+    # a regex that lumps non-adjacent subtrees into one group must raise
+    with pytest.raises(ValueError, match="non-contiguous"):
+        trees.group_spans(
+            ["a/x", "b/y", "a/z"], [(0, 2), (2, 3), (5, 1)], r"^(a)/"
+        )
+
+
 def test_flattener_structural_equality(key):
     t = _tree(key)
     a, b = Flattener(t), Flattener(jax.tree_util.tree_map(lambda x: x + 1, t))
