@@ -87,10 +87,11 @@ def partition_labels(
     return labels, spans
 
 
-#: Matches one repeated-block path component (``h_3``, ``blocks_0``,
-#: ``layers_11``) — the "model.transformer.h[i]" grouping of the reference's
-#: per-block eigenvalue sweep (ipynbs/visual-eigen.ipynb cell 12).
-BLOCK_GROUP_REGEX = r"(?:^|/)((?:h|blocks|layers)_\d+)(?:/|$)"
+#: Matches one repeated-block path component (GPT-2 ``h_3``, LLaMA/NeoX
+#: ``layer_0``, generically ``block(s)_i``/``layer(s)_i``) — the
+#: "model.transformer.h[i]" grouping of the reference's per-block
+#: eigenvalue sweep (ipynbs/visual-eigen.ipynb cell 12).
+BLOCK_GROUP_REGEX = r"(?:^|/)((?:h|blocks?|layers?)_\d+)(?:/|$)"
 
 
 def group_spans(

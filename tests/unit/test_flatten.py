@@ -83,6 +83,12 @@ def test_group_spans():
     glabels, gspans = trees.group_spans(labels, spans, trees.BLOCK_GROUP_REGEX)
     assert glabels == ["h_0", "h_1"]          # wte skipped, order preserved
     assert gspans == [(0, 14), (14, 14)]      # leaf spans merged per block
+    # LLaMA/NeoX use layer_i (singular) path components
+    gl2, _ = trees.group_spans(
+        ["params/layer_0/mlp/kernel", "params/layer_1/mlp/kernel"],
+        [(0, 4), (4, 4)], trees.BLOCK_GROUP_REGEX,
+    )
+    assert gl2 == ["layer_0", "layer_1"]
     # a regex that lumps non-adjacent subtrees into one group must raise
     with pytest.raises(ValueError, match="non-contiguous"):
         trees.group_spans(
