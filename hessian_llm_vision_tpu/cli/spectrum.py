@@ -453,7 +453,11 @@ def _report_and_outputs(args, spec, wall, dim, num_batches):
         _plot(spec, args.plot)
     if args.compare_to:
         from hessian_llm_vision_tpu.io import load_spectrum, load_reference_spectrum
-        from hessian_llm_vision_tpu.krylov import density_overlap, ritz_relative_error
+        from hessian_llm_vision_tpu.krylov import (
+            density_overlap,
+            ritz_relative_error,
+            wasserstein_distance,
+        )
 
         other = (
             load_reference_spectrum(args.compare_to)
@@ -463,6 +467,7 @@ def _report_and_outputs(args, spec, wall, dim, num_batches):
         err = ritz_relative_error(spec, other, top_k=5)
         print(f"top-5 Ritz max relative error vs {args.compare_to}: {err:.2e}")
         print(f"density overlap: {density_overlap(spec, other):.4f}")
+        print(f"spectral W1 distance: {wasserstein_distance(spec, other):.4e}")
         if spec.ritz_vectors is not None and other.ritz_vectors is not None:
             from hessian_llm_vision_tpu.krylov import subspace_overlap
 

@@ -11,6 +11,7 @@ from hessian_llm_vision_tpu.krylov.driver import (
 from hessian_llm_vision_tpu.krylov.compare import (
     ritz_relative_error,
     density_overlap,
+    wasserstein_distance,
     subspace_overlap,
     summarize,
 )
@@ -45,6 +46,7 @@ __all__ = [
     "hutchpp_trace",
     "ritz_relative_error",
     "density_overlap",
+    "wasserstein_distance",
     "subspace_overlap",
     "summarize",
 ]

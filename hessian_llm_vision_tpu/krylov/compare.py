@@ -51,6 +51,28 @@ def density_overlap(
     return float(np.trapezoid(np.sqrt(da * db), grid))
 
 
+def wasserstein_distance(a: Spectrum, b: Spectrum) -> float:
+    """Exact W1 (earth-mover) distance between the two discrete SLQ
+    measures Σ γᵢ δ(λᵢ), in eigenvalue units.
+
+    Complements :func:`density_overlap` (scale-free, broadening-dependent)
+    with an interpretable number: "the spectra differ by X in λ on
+    average".  Each γ vector is normalised to a probability measure (for a
+    unit Lanczos probe Σγ = 1 already, up to fp error).  W1 between 1-D
+    measures is ∫|F_a(x) − F_b(x)| dx over the merged atom grid.
+    """
+    ea, ga = np.asarray(a.eigvals, np.float64), np.asarray(a.gammas, np.float64)
+    eb, gb = np.asarray(b.eigvals, np.float64), np.asarray(b.gammas, np.float64)
+    ga, gb = ga / ga.sum(), gb / gb.sum()
+    xs = np.concatenate([ea, eb])
+    order = np.argsort(xs)
+    xs = xs[order]
+    # signed mass at each atom: +γ from a, −γ from b
+    w = np.concatenate([ga, -gb])[order]
+    cdf_diff = np.cumsum(w)[:-1]  # F_a − F_b between consecutive atoms
+    return float(np.sum(np.abs(cdf_diff) * np.diff(xs)))
+
+
 def summarize(spec: Spectrum) -> dict:
     ev = np.sort(np.asarray(spec.eigvals))
     ga = np.asarray(spec.gammas)

@@ -31,6 +31,29 @@ def test_self_consistency_extremal_ritz(rng):
     assert density_overlap(specs[0], specs[1]) > 0.8
 
 
+def test_wasserstein_distance():
+    from hessian_llm_vision_tpu.krylov.compare import wasserstein_distance
+    from hessian_llm_vision_tpu.krylov.slq import Spectrum
+
+    a = Spectrum(eigvals=jnp.asarray([1.0, 3.0]), gammas=jnp.asarray([0.5, 0.5]))
+    # identical measures -> 0
+    assert wasserstein_distance(a, a) == 0.0
+    # a rigid shift of every atom by s costs exactly s
+    b = Spectrum(eigvals=jnp.asarray([1.5, 3.5]), gammas=jnp.asarray([0.5, 0.5]))
+    np.testing.assert_allclose(wasserstein_distance(a, b), 0.5, rtol=1e-12)
+    # two deltas: moving mass 1 across |x-y| costs |x-y|
+    c = Spectrum(eigvals=jnp.asarray([0.0]), gammas=jnp.asarray([1.0]))
+    d = Spectrum(eigvals=jnp.asarray([2.0]), gammas=jnp.asarray([1.0]))
+    np.testing.assert_allclose(wasserstein_distance(c, d), 2.0, rtol=1e-12)
+    # unnormalised gammas are renormalised, not double-counted
+    e = Spectrum(eigvals=jnp.asarray([0.0]), gammas=jnp.asarray([2.0]))
+    np.testing.assert_allclose(wasserstein_distance(e, d), 2.0, rtol=1e-12)
+    # symmetric
+    np.testing.assert_allclose(
+        wasserstein_distance(a, b), wasserstein_distance(b, a), rtol=1e-12
+    )
+
+
 def test_summarize(rng):
     from hessian_llm_vision_tpu.krylov.slq import Spectrum
 
