@@ -35,7 +35,9 @@ def main():
         leaf = os.path.basename(path)[len(os.path.basename(prefix)) + 1 : -4]
         spec = load_spectrum(path)
         ev = np.sort(np.asarray(spec.eigvals))
-        m = re.match(r"h_(\d+)\.", leaf)
+        # per-leaf artifacts ("h_0.attn..."), per-block ones ("h_0",
+        # "layer_0" from --layerwise_group block), any family naming
+        m = re.match(r"(?:h|blocks?|layers?)_(\d+)(?:\.|$)", leaf)
         rows.append(
             {
                 "leaf": leaf,
