@@ -4,8 +4,9 @@ The reference's Optuna studies (optun.py:5-59, optun_adam.py) suggest
 (k, lr, delta, lanczos_momentum) or (beta2, lr, delta), launch the train
 script via subprocess, parse the last stdout line as the loss, and treat
 failures as inf.  Here the objective calls the train CLI in-process (same
-last-line contract), uses Optuna when installed, and falls back to seeded
-random search otherwise (this image ships no optuna).
+last-line contract), uses Optuna when installed, and falls back to a native
+TPE sampler otherwise (utils/tpe.py; this image ships no optuna).
+--sampler random recovers the plain seeded random search.
 
 Example:
   python -m hessian_llm_vision_tpu.cli.hpo --trials 10 --model spiral --cpu \
@@ -67,6 +68,12 @@ def main(argv=None):
                    "(the reference Adam space caps lr at 1e-3, which its "
                    "own CLI default sits ON — measured in "
                    "artifacts/hpo_r3/validation.json)")
+    p.add_argument("--sampler", default="auto",
+                   choices=["auto", "optuna", "tpe", "random"],
+                   help="'auto' = optuna when installed, else the native "
+                   "TPE sampler (utils/tpe.py — the reference's optun.py "
+                   "algorithm, not just its protocol); 'random' keeps the "
+                   "plain seeded random search")
     p.add_argument("--out_json", default="best_params.json")
     args, passthrough = p.parse_known_args(argv)
     passthrough = [a for a in passthrough if a != "--"]
@@ -91,7 +98,18 @@ def main(argv=None):
 
     trials = []  # the full study, persisted alongside the best point
 
-    try:
+    sampler = args.sampler
+    if sampler in ("auto", "optuna"):
+        try:
+            import optuna  # noqa: F401
+            sampler = "optuna"
+        except ImportError:
+            if sampler == "optuna":
+                raise SystemExit("--sampler optuna: optuna is not installed")
+            sampler = "tpe"
+            print("[hpo] optuna not installed; using the native TPE sampler")
+
+    if sampler == "optuna":
         import optuna
 
         def objective(trial):
@@ -104,8 +122,20 @@ def main(argv=None):
         study.optimize(objective, n_trials=args.trials)
         best = {"params": study.best_params, "loss": study.best_value,
                 "backend": "optuna"}
-    except ImportError:
-        print("[hpo] optuna not installed; using seeded random search")
+    elif sampler == "tpe":
+        from hessian_llm_vision_tpu.utils.tpe import TPESampler
+
+        tpe = TPESampler(space, seed=args.hpo_seed)
+        best = {"params": None, "loss": float("inf"), "backend": "tpe"}
+        for i in range(args.trials):
+            point = tpe.suggest(trials)
+            loss = run_point(point)
+            trials.append({"params": point, "loss": loss})
+            print(f"trial {i}: {point} -> {loss:.5f}", flush=True)
+            if loss < best["loss"]:
+                best = {"params": point, "loss": loss, "backend": "tpe"}
+    else:
+        print("[hpo] seeded random search")
         rng = random.Random(args.hpo_seed)
         best = {"params": None, "loss": float("inf"), "backend": "random-search"}
         for i in range(args.trials):

@@ -59,7 +59,7 @@ def test_hpo_study_contract(name):
     # the reference's trial count (optun.py:47 n_trials=50) unless the
     # study spec overrides it (the wide-space follow-up ran 25)
     assert len(study["trials"]) == spec.get("trials", 50)
-    assert study["backend"] in ("optuna", "random-search")
+    assert study["backend"] in ("optuna", "tpe", "random-search")
 
     # every trial draws from the documented space
     for t in study["trials"]:
