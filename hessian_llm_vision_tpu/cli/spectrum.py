@@ -209,6 +209,27 @@ def main(argv=None):
                          "host loop keeps all flat vectors f32)")
 
     if args.layerwise:
+        dropped = [
+            flag
+            for flag, set_ in [
+                ("--probes", args.probes > 1),
+                ("--basis", args.basis),
+                ("--t_checkpoint", bool(args.t_checkpoint)),
+                ("--resume_spectrum", bool(args.resume_spectrum)),
+                ("--compare_to", bool(args.compare_to)),
+                ("--operator " + args.operator, args.operator != "hessian"),
+                ("--fused_step", args.fused_step),
+                ("--bigmodel", args.bigmodel),
+                ("--host_basis", args.host_basis),
+            ]
+            if set_
+        ]
+        if dropped:
+            raise SystemExit(
+                f"--layerwise does not support {', '.join(dropped)}; "
+                "each block runs a plain T-only (or in-core) Hessian "
+                "Lanczos"
+            )
         return _layerwise_main(args, wl)
 
     key = jax.random.PRNGKey(args.vector_seed)

@@ -488,6 +488,11 @@ def test_loud_flag_combinations():
         spectrum.main(base + ["--hutchpp", "9", "--host_loop"])
     with pytest.raises(SystemExit):
         spectrum.main(base + ["--qprev_bf16"])
+    # --layerwise ignores probe/basis/checkpoint/compare/operator machinery
+    for extra in (["--probes", "3"], ["--basis"], ["--t_checkpoint", "/tmp/t"],
+                  ["--compare_to", "/tmp/x.npz"], ["--operator", "ggn"]):
+        with pytest.raises(SystemExit):
+            spectrum.main(base + ["--layerwise"] + extra)
 
 
 def test_host_loop_single_iteration():
