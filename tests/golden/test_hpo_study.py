@@ -34,6 +34,16 @@ STUDIES = {
             "delta": (1e-9, 1.0),
         },
     },
+    # native TPE head-to-head vs the random-search study at identical budget
+    "lanczos-tpe": {
+        "file": "lanczos_tpe_gpt2tiny_markov.json",
+        "bounds": {
+            "k": (5, 50),
+            "lr": (1e-4, 1e-1),
+            "delta": (1e-6, 1e-2),
+            "lanczos_momentum": (0.0, 0.99),
+        },
+    },
     # --space wide: the lr bound lifted past the reference's 1e-3 cap
     "adam-wide": {
         "file": "adam_wide_gpt2tiny_markov.json",
