@@ -94,6 +94,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--operator", default="hessian",
                    help="hessian | ggn | fisher (GGN = J^T H_out J, Fisher = "
                    "GGN of the NLL — colaexp.py parity; single-batch)")
+    p.add_argument("--thick_restart", type=int, default=0, metavar="K",
+                   help="compute K CONVERGED extremal eigenpairs by "
+                   "thick-restart Lanczos (Wu & Simon) inside a fixed "
+                   "--lanczos_iters-vector basis buffer — converged "
+                   "eigenbases at bounded memory, beyond the reference's "
+                   "one-pass bases. In-core operator paths only")
+    p.add_argument("--tr_which", default="lm",
+                   choices=["lm", "la", "sa", "both"],
+                   help="which end of the spectrum --thick_restart targets "
+                   "(largest magnitude / algebraic ends / both)")
     p.add_argument("--no_reorth", action="store_true")
     p.add_argument("--hvp_precision", default="high",
                    choices=["high", "highest", "default", "mixed"],
@@ -207,6 +217,13 @@ def main(argv=None):
     if args.qprev_bf16 and not args.fused_step:
         raise SystemExit("--qprev_bf16 requires --fused_step (the plain "
                          "host loop keeps all flat vectors f32)")
+    if args.thick_restart and (
+        args.host_loop or args.layerwise or args.fused_step or args.bigmodel
+    ):
+        raise SystemExit(
+            "--thick_restart applies to the in-core operator paths only "
+            "(drop --host_loop/--layerwise/--fused_step/--bigmodel)"
+        )
 
     if args.layerwise:
         dropped = [
@@ -346,6 +363,50 @@ def main(argv=None):
         else len(wl.batches)
     )
     t0 = time.time()
+
+    if args.thick_restart:
+        dropped = [
+            flag
+            for flag, set_ in [
+                ("--probes", args.probes > 1),
+                ("--host_basis", args.host_basis),
+                ("--t_checkpoint", bool(args.t_checkpoint)),
+                ("--resume_spectrum", bool(args.resume_spectrum)),
+                ("--no_reorth", args.no_reorth),
+            ]
+            if set_
+        ]
+        if dropped:
+            raise SystemExit(
+                f"--thick_restart does not support {', '.join(dropped)}"
+            )
+        from hessian_llm_vision_tpu.krylov import lanczos_thick_restart
+        from hessian_llm_vision_tpu.krylov.slq import Spectrum
+
+        res = lanczos_thick_restart(
+            op.matvec, op.dim, args.thick_restart, key=key,
+            inner=args.lanczos_iters, which=args.tr_which, progress=True,
+        )
+        # gammas = (u_i . v0)^2: the probe's true spectral-measure weight
+        # on each CONVERGED eigenvector (what SLQ gammas estimate)
+        v0 = jax.random.normal(key, (op.dim,), jnp.float32)
+        v0 = v0 / jnp.linalg.norm(v0)
+        g = (res.vectors @ v0) ** 2
+        spec = Spectrum(
+            eigvals=jnp.asarray(res.eigvals, jnp.float32),
+            gammas=g,
+            ritz_vectors=res.vectors if args.basis else None,
+        )
+        status = "converged" if res.converged else "NOT converged"
+        print(
+            f"thick-restart: {status} after {res.restarts} restarts / "
+            f"{res.matvecs} matvecs; max residual {res.residuals.max():.2e}"
+        )
+        wall = time.time() - t0
+        from hessian_llm_vision_tpu.utils.flatten import tree_size
+
+        _report_and_outputs(args, spec, wall, op.dim, hvp_batches)
+        return spec
 
     if args.probes > 1:
         spec = slq_multi_probe(

@@ -23,6 +23,10 @@ from hessian_llm_vision_tpu.krylov.slq import (
     spectral_density,
     Spectrum,
 )
+from hessian_llm_vision_tpu.krylov.thick_restart import (
+    lanczos_thick_restart,
+    ThickRestartResult,
+)
 from hessian_llm_vision_tpu.krylov.power import power_iteration
 from hessian_llm_vision_tpu.krylov.cg import cg_solve
 from hessian_llm_vision_tpu.krylov.trace import hutchinson_trace, hutchpp_trace
@@ -31,6 +35,8 @@ __all__ = [
     "lanczos",
     "LanczosResult",
     "lanczos_checkpointed",
+    "lanczos_thick_restart",
+    "ThickRestartResult",
     "lanczos_host_basis",
     "dataset_spectrum_host",
     "layerwise_spectrum_host",

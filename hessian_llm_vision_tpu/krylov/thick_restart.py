@@ -1,0 +1,189 @@
+"""Thick-restart Lanczos (TRLan): converged top-k eigenpairs in O(m·P).
+
+The reference computes eigenbases with ONE unrestarted Lanczos pass and
+uses them downstream (forgetting projections, load_model.py:232-401;
+spectrum artifacts with V, gpt2_savehessian.py:210-235) — so basis memory
+is m×P for m iterations and the extremal pairs are only as converged as
+one pass makes them.  Thick restart (Wu & Simon, "Thick-Restart Lanczos
+Method for Large Symmetric Eigenvalue Problems", SIAM J. Matrix Anal.
+2000) iterates: run Lanczos to m vectors, keep the best kk Ritz vectors,
+restart with them plus the last Lanczos vector, repeat until the wanted k
+pairs hit a residual tolerance.  Memory stays (m+1)×P regardless of how
+many restarts convergence takes — the TPU memory plan for *converged*
+eigenbases at model sizes where a long unrestarted basis cannot be held
+(optionally bf16-stored, the --bigmodel_q convention).
+
+Design: host-driven restart cycles over the caller's (jitted) matvec —
+the LLM-scale pattern of krylov/driver.py (one cached program per step,
+no scan over big HVPs; CLAUDE.md compile-budget rule).  The (m, m)
+projected problem is dense-solved on host with numpy.  The projected
+matrix after a restart is NOT tridiagonal: it is diag(θ) plus an
+arrowhead coupling row/column, then tridiagonal in the new directions.
+
+Recurrence arithmetic is f32 (repo convention); the stored basis may be
+bf16 (``store_dtype``) — the Lanczos-vector storage trade validated at
+410m in round 3 (~1e-5 extreme-Ritz error).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_EPS = 1e-30
+
+
+class ThickRestartResult(NamedTuple):
+    """Converged-first wanted eigenpairs of the operator."""
+
+    eigvals: np.ndarray  # (k,) wanted Ritz values, sorted ascending
+    vectors: jax.Array  # (k, P) rows are the Ritz vectors (f32)
+    residuals: np.ndarray  # (k,) |beta_m * S[m-1, i]| residual estimates
+    restarts: int
+    converged: bool
+    matvecs: int
+
+
+@jax.jit
+def _orth_step(Q, w, n_filled):
+    """CGS2-orthogonalize f32 ``w`` against the first ``n_filled`` rows of
+    the (m+1, P) buffer ``Q`` (any storage dtype).
+
+    Returns ``(w, norm_after, norm_before)`` — the before/after ratio is
+    the numerically meaningful breakdown detector (an absolute threshold
+    never fires in f32, where roundoff keeps ||w|| at ~1e-7·||A q||, and
+    normalizing that noise poisons the basis)."""
+    nrm0 = jnp.linalg.norm(w)
+    mask = (jnp.arange(Q.shape[0]) < n_filled).astype(jnp.float32)
+    Qf = Q.astype(jnp.float32)
+    for _ in range(2):  # two Gram-Schmidt passes
+        w = w - Qf.T @ (mask * (Qf @ w))
+    return w, jnp.linalg.norm(w), nrm0
+
+
+@jax.jit
+def _set_row(Q, i, v):
+    return jax.lax.dynamic_update_slice(Q, v.astype(Q.dtype)[None, :], (i, 0))
+
+
+@jax.jit
+def _rotate(Q, S_kept):
+    """W = S_keptᵀ Q  (rows = new Ritz vectors), f32 result."""
+    return S_kept.T @ Q.astype(jnp.float32)
+
+
+def _select(theta: np.ndarray, k: int, which: str) -> np.ndarray:
+    """Indices of the k wanted Ritz values (into ascending-sorted theta)."""
+    order = np.argsort(theta)
+    if which == "la":
+        return order[-k:]
+    if which == "sa":
+        return order[:k]
+    if which == "both":
+        lo = k // 2
+        return np.concatenate([order[: k - lo], order[-lo:]]) if lo else order[:k]
+    if which == "lm":
+        return np.argsort(np.abs(theta))[-k:]
+    raise ValueError(f"which={which!r}: use la | sa | lm | both")
+
+
+def lanczos_thick_restart(
+    matvec: Callable[[jax.Array], jax.Array],
+    dim: int,
+    k: int,
+    *,
+    key: Optional[jax.Array] = None,
+    v0: Optional[jax.Array] = None,
+    inner: Optional[int] = None,
+    max_restarts: int = 100,
+    tol: float = 1e-6,
+    which: str = "lm",
+    store_dtype=jnp.float32,
+    progress: bool = False,
+) -> ThickRestartResult:
+    """Converged k extremal eigenpairs with an (inner+1, P) basis buffer.
+
+    ``which``: "lm" largest |λ| (default), "la"/"sa" algebraic ends,
+    "both" = split k across both algebraic ends.  Residual convergence
+    test: |β_m S[m-1,i]| ≤ tol · max|θ| for every wanted pair.
+    """
+    if (v0 is None) == (key is None):
+        raise ValueError("pass exactly one of v0 / key")
+    m = inner if inner is not None else min(dim, max(2 * k + 2, k + 12))
+    if not (k < m <= dim):
+        raise ValueError(f"need k < inner <= dim, got k={k} inner={m} dim={dim}")
+    kk = min(k + max(3, k // 2), m - 2)  # thick-keep count
+
+    q = v0 if v0 is not None else jax.random.normal(key, (dim,), jnp.float32)
+    q = q / jnp.maximum(jnp.linalg.norm(q), _EPS)
+
+    Q = jnp.zeros((m + 1, dim), store_dtype)
+    theta = np.zeros((0,), np.float64)  # retained Ritz values
+    s = np.zeros((0,), np.float64)  # arrowhead couplings
+    n_ret = 0  # retained rows at cycle start
+    rng_key = key if key is not None else jax.random.PRNGKey(0)
+    n_mv = 0
+
+    for restart in range(max_restarts):
+        Q = _set_row(Q, n_ret, q)
+        B = np.zeros((m, m), np.float64)
+        B[:n_ret, :n_ret] = np.diag(theta)
+        B[:n_ret, n_ret] = s
+        B[n_ret, :n_ret] = s
+        beta = 0.0
+        for j in range(n_ret, m):
+            w = matvec(jnp.asarray(Q[j], jnp.float32))
+            n_mv += 1
+            alpha = float(jnp.vdot(jnp.asarray(Q[j], jnp.float32), w))
+            B[j, j] = alpha
+            w, nrm, nrm0 = _orth_step(Q, w, j + 1)
+            beta = float(nrm)
+            if beta <= 1e-5 * max(float(nrm0), 1e-30):
+                # invariant subspace (what remains of A q is f32 roundoff):
+                # zero the coupling and continue in a fresh random direction
+                beta = 0.0
+                rng_key, sub = jax.random.split(rng_key)
+                w = jax.random.normal(sub, (dim,), jnp.float32)
+                w, nrm, _ = _orth_step(Q, w, j + 1)
+            if j < m - 1:
+                B[j, j + 1] = B[j + 1, j] = beta
+            Q = _set_row(Q, j + 1, w / jnp.maximum(nrm, _EPS))
+
+        evals, S = np.linalg.eigh(B)  # ascending
+        resid = np.abs(beta * S[m - 1, :])
+        wanted = _select(evals, k, which)
+        scale = max(np.abs(evals).max(), 1e-30)
+        done = bool((resid[wanted] <= tol * scale).all())
+        if progress:
+            print(
+                f"[trlan] restart {restart}: wanted "
+                f"[{evals[wanted].min():.6g}, {evals[wanted].max():.6g}] "
+                f"max resid {resid[wanted].max():.2e}",
+                flush=True,
+            )
+        if done or restart == max_restarts - 1:
+            order = wanted[np.argsort(evals[wanted])]
+            V = _rotate(Q[:m], jnp.asarray(S[:, order], jnp.float32))
+            return ThickRestartResult(
+                eigvals=evals[order],
+                vectors=V,
+                residuals=resid[order],
+                restarts=restart + 1,
+                converged=done,
+                matvecs=n_mv,
+            )
+
+        # thick restart: keep the kk best Ritz pairs by the same criterion
+        keep = _select(evals, kk, which)
+        W = _rotate(Q[:m], jnp.asarray(S[:, keep], jnp.float32))
+        q = jnp.asarray(Q[m], jnp.float32)  # the (m+1)-th Lanczos vector
+        Q = jnp.zeros((m + 1, dim), store_dtype)
+        for i in range(kk):  # rows already orthonormal; store (maybe bf16)
+            Q = _set_row(Q, i, W[i])
+        theta = evals[keep]
+        s = beta * S[m - 1, keep]
+        n_ret = kk

@@ -319,6 +319,28 @@ def test_train_cli_lanczos_layer_host(tmp_path):
     assert np.isfinite(loss)
 
 
+def test_spectrum_cli_thick_restart(tmp_path, capsys):
+    """--thick_restart K: converged extremal eigenpairs inside a fixed
+    basis buffer; gammas are the probe's weights on converged vectors."""
+    from hessian_llm_vision_tpu.cli import spectrum
+
+    out = str(tmp_path / "tr")
+    spec = spectrum.main([
+        "--model", "spiral", "--lanczos_iters", "16", "--batch_size", "30",
+        "--num_points", "90", "--width", "8", "--depth", "1",
+        "--thick_restart", "4", "--basis", "--out_spectrum", out, "--cpu",
+    ])
+    assert "converged" in capsys.readouterr().out
+    assert spec.eigvals.shape == (4,)
+    assert spec.ritz_vectors is not None and spec.ritz_vectors.shape[0] == 4
+    assert os.path.exists(out + ".npz")
+    with pytest.raises(SystemExit):
+        spectrum.main([
+            "--model", "spiral", "--batch_size", "30", "--num_points", "90",
+            "--thick_restart", "4", "--host_loop", "--cpu",
+        ])
+
+
 def test_spectrum_cli_layerwise_block(tmp_path, capsys):
     """--layerwise_group block: one spectrum per transformer block h_i, the
     visual-eigen.ipynb cell-12 sweep + cell-13 grid plot, both paths."""
