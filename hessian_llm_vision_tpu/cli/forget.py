@@ -35,6 +35,10 @@ def build_parser():
     p.add_argument("--epochs_a", type=int, default=600)
     p.add_argument("--epochs_b", type=int, default=30)
     p.add_argument("--k", type=int, default=10, help="eigenbasis size")
+    p.add_argument("--thick_restart", type=int, default=0, metavar="M",
+                   help="compute the task-A basis as k CONVERGED top-|λ| "
+                   "eigenpairs by thick-restart Lanczos inside an M-vector "
+                   "buffer (M > k), instead of one unrestarted k-iter pass")
     p.add_argument("--dataset_a", type=int, nargs="*", default=[0, 1, 2, 3, 4])
     p.add_argument("--dataset_b", type=int, nargs="*", default=[5, 6, 7, 8, 9])
     p.add_argument("--batch_size_b", type=int, default=0,
@@ -212,12 +216,27 @@ def main(argv=None):
     # eigenbasis of task A's Hessian (the saved eigenspace.pth role)
     fl = Flattener(params_a)
     op = HessianOperator(loss_fn, params_a, batch_a, flattener=fl)
-    res = lanczos(
-        op.matvec, op.dim, args.k, key=jax.random.fold_in(key, 1), reorth=True
-    )
-    spec = ritz_decomposition(res, with_vectors=True)
-    basis = spec.ritz_vectors
-    print(f"task A eigenbasis: k={args.k}, lambda_max={float(spec.eigvals[-1]):.3f}")
+    if args.thick_restart:
+        from hessian_llm_vision_tpu.krylov import lanczos_thick_restart
+
+        tres = lanczos_thick_restart(
+            op.matvec, op.dim, args.k, key=jax.random.fold_in(key, 1),
+            inner=args.thick_restart, which="lm",
+        )
+        basis = tres.vectors
+        lam_max = float(tres.eigvals.max())
+        print(f"task A eigenbasis: k={args.k} CONVERGED "
+              f"({tres.restarts} restarts, max resid "
+              f"{tres.residuals.max():.1e}), lambda_max={lam_max:.3f}")
+    else:
+        res = lanczos(
+            op.matvec, op.dim, args.k, key=jax.random.fold_in(key, 1),
+            reorth=True,
+        )
+        spec = ritz_decomposition(res, with_vectors=True)
+        basis = spec.ritz_vectors
+        print(f"task A eigenbasis: k={args.k}, "
+              f"lambda_max={float(spec.eigvals[-1]):.3f}")
 
     # task-similarity diagnostic: principal-angle overlap between task A's
     # and task B's curvature eigenbases at the same point.  High overlap

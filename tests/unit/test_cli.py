@@ -137,6 +137,21 @@ def test_forget_cli(tmp_path):
         assert 0.0 <= float(z["ab_overlap"]) <= 1.0
 
 
+def test_forget_cli_thick_restart(tmp_path, capsys):
+    """--thick_restart M: the task-A basis from converged eigenpairs."""
+    from hessian_llm_vision_tpu.cli import forget
+
+    base, proj = forget.main([
+        "--model", "spiral", "--epochs_a", "30", "--epochs_b", "5",
+        "--k", "3", "--thick_restart", "10", "--lr", "0.5", "--width", "12",
+        "--depth", "1", "--num_points", "60",
+        "--out_curves", str(tmp_path / "c.npz"),
+    ])
+    out = capsys.readouterr().out
+    assert "CONVERGED" in out
+    assert len(base) == 5 and len(proj) == 5
+
+
 def test_devices_info_cli(capsys):
     from hessian_llm_vision_tpu.cli import devices_info
 
