@@ -104,6 +104,14 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["lm", "la", "sa", "both"],
                    help="which end of the spectrum --thick_restart targets "
                    "(largest magnitude / algebraic ends / both)")
+    p.add_argument("--tr_dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="basis-buffer storage dtype for --thick_restart "
+                   "(bfloat16 halves the (inner+1, P) buffer; recurrence "
+                   "arithmetic stays f32 — the --bigmodel_q convention)")
+    p.add_argument("--tr_tol", type=float, default=1e-6,
+                   help="relative residual tolerance for --thick_restart "
+                   "(scale = max|theta|; raise to ~2e-3 with bf16 storage)")
     p.add_argument("--no_reorth", action="store_true")
     p.add_argument("--hvp_precision", default="high",
                    choices=["high", "highest", "default", "mixed"],
@@ -386,6 +394,10 @@ def main(argv=None):
         res = lanczos_thick_restart(
             op.matvec, op.dim, args.thick_restart, key=key,
             inner=args.lanczos_iters, which=args.tr_which, progress=True,
+            tol=args.tr_tol,
+            store_dtype=jnp.bfloat16
+            if args.tr_dtype == "bfloat16"
+            else jnp.float32,
         )
         # gammas = (u_i . v0)^2: the probe's true spectral-measure weight
         # on each CONVERGED eigenvector (what SLQ gammas estimate)
