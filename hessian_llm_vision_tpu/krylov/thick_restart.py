@@ -113,6 +113,10 @@ def lanczos_thick_restart(
     """
     if (v0 is None) == (key is None):
         raise ValueError("pass exactly one of v0 / key")
+    # host-driven loop: the matvec MUST be one cached program, not eager
+    # ops (this backend dispatches eager ops synchronously through the
+    # tunnel — CLAUDE.md; nested jit is a no-op if the caller already jits)
+    matvec = jax.jit(matvec)
     m = inner if inner is not None else min(dim, max(2 * k + 2, k + 12))
     if not (k < m <= dim):
         raise ValueError(f"need k < inner <= dim, got k={k} inner={m} dim={dim}")
