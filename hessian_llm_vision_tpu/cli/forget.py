@@ -223,6 +223,14 @@ def main(argv=None):
             op.matvec, op.dim, args.k, key=jax.random.fold_in(key, 1),
             inner=args.thick_restart, which="lm",
         )
+        if not tres.converged:
+            raise SystemExit(
+                f"--thick_restart {args.thick_restart}: basis NOT converged "
+                f"after {tres.restarts} restarts (max resid "
+                f"{tres.residuals.max():.1e}); raise M (or drop the flag "
+                "for a plain one-pass basis) rather than projecting onto "
+                "an unconverged basis"
+            )
         basis = tres.vectors
         lam_max = float(tres.eigvals.max())
         print(f"task A eigenbasis: k={args.k} CONVERGED "

@@ -232,6 +232,21 @@ def main(argv=None):
             "--thick_restart applies to the in-core operator paths only "
             "(drop --host_loop/--layerwise/--fused_step/--bigmodel)"
         )
+    if not args.thick_restart and (
+        args.tr_which != "lm" or args.tr_dtype != "float32"
+        or args.tr_tol != 1e-6
+    ):
+        raise SystemExit(
+            "--tr_which/--tr_dtype/--tr_tol have no effect without "
+            "--thick_restart K"
+        )
+    if not args.layerwise and (
+        args.layerwise_group != "leaf" or args.group_regex
+    ):
+        raise SystemExit(
+            "--layerwise_group/--group_regex have no effect without "
+            "--layerwise"
+        )
 
     if args.layerwise:
         dropped = [
@@ -381,6 +396,7 @@ def main(argv=None):
                 ("--t_checkpoint", bool(args.t_checkpoint)),
                 ("--resume_spectrum", bool(args.resume_spectrum)),
                 ("--no_reorth", args.no_reorth),
+                ("--hutchpp", bool(args.hutchpp)),
             ]
             if set_
         ]
@@ -391,8 +407,12 @@ def main(argv=None):
         from hessian_llm_vision_tpu.krylov import lanczos_thick_restart
         from hessian_llm_vision_tpu.krylov.slq import Spectrum
 
+        # draw the probe HERE and pass it in, so the gammas below use the
+        # same v0 by construction (not by replaying the internal RNG)
+        v0 = jax.random.normal(key, (op.dim,), jnp.float32)
+        v0 = v0 / jnp.linalg.norm(v0)
         res = lanczos_thick_restart(
-            op.matvec, op.dim, args.thick_restart, key=key,
+            op.matvec, op.dim, args.thick_restart, v0=v0,
             inner=args.lanczos_iters, which=args.tr_which, progress=True,
             tol=args.tr_tol,
             store_dtype=jnp.bfloat16
@@ -400,9 +420,8 @@ def main(argv=None):
             else jnp.float32,
         )
         # gammas = (u_i . v0)^2: the probe's true spectral-measure weight
-        # on each CONVERGED eigenvector (what SLQ gammas estimate)
-        v0 = jax.random.normal(key, (op.dim,), jnp.float32)
-        v0 = v0 / jnp.linalg.norm(v0)
+        # on each CONVERGED eigenvector (what SLQ gammas estimate) — a
+        # PARTIAL measure over k pairs, not the unit SLQ weight vector
         g = (res.vectors @ v0) ** 2
         spec = Spectrum(
             eigvals=jnp.asarray(res.eigvals, jnp.float32),
@@ -415,9 +434,15 @@ def main(argv=None):
             f"{res.matvecs} matvecs; max residual {res.residuals.max():.2e}"
         )
         wall = time.time() - t0
-        from hessian_llm_vision_tpu.utils.flatten import tree_size
-
-        _report_and_outputs(args, spec, wall, op.dim, hvp_batches)
+        args._extra_meta = {
+            **getattr(args, "_extra_meta", {}),
+            "tr_matvecs": res.matvecs,
+            "tr_restarts": res.restarts,
+            "tr_converged": int(res.converged),
+            "tr_max_residual": float(res.residuals.max()),
+        }
+        _report_and_outputs(args, spec, wall, op.dim, hvp_batches,
+                            n_matvecs=res.matvecs, partial_measure=True)
         return spec
 
     if args.probes > 1:
@@ -512,7 +537,8 @@ def main(argv=None):
     return spec
 
 
-def _report_and_outputs(args, spec, wall, dim, num_batches):
+def _report_and_outputs(args, spec, wall, dim, num_batches,
+                        n_matvecs=None, partial_measure=False):
     from hessian_llm_vision_tpu.io import save_spectrum
     from hessian_llm_vision_tpu.krylov import trace_estimate
 
@@ -520,9 +546,19 @@ def _report_and_outputs(args, spec, wall, dim, num_batches):
     print(f"P = {dim}")
     print(f"lambda_max = {ev[-1]:.6f}  lambda_min = {ev[0]:.6f}")
     print(f"top-5 Ritz: {np.round(ev[-5:], 4).tolist()}")
-    print(f"trace estimate (E[lambda]) = {float(trace_estimate(spec)):.6e}")
-    print(f"wall-clock: {wall:.2f}s "
-          f"({args.lanczos_iters * num_batches / wall:.2f} HVPs/s)")
+    if partial_measure:
+        # gammas cover only the converged pairs — NOT the full SLQ measure
+        print(f"partial E[lambda] over the {len(ev)} converged pairs = "
+              f"{float(trace_estimate(spec)):.6e} "
+              f"(weight sum {float(np.sum(np.asarray(spec.gammas))):.3e}; "
+              "not a trace estimate)")
+    else:
+        print(f"trace estimate (E[lambda]) = "
+              f"{float(trace_estimate(spec)):.6e}")
+    hvps = n_matvecs if n_matvecs is not None else (
+        args.lanczos_iters * num_batches
+    )
+    print(f"wall-clock: {wall:.2f}s ({hvps / wall:.2f} HVPs/s)")
 
     if args.out_spectrum:
         if args.out_spectrum.endswith((".ckpt", ".pt")):
@@ -606,6 +642,11 @@ def _layerwise_main(args, wl):
         results = {
             label: ritz_decomposition(res) for label, res in results_t.items()
         }
+        if not results:
+            raise SystemExit(
+                "--layerwise grouping matched no parameter leaves "
+                f"(group_regex={group_regex!r})"
+            )
         _layerwise_outputs(args, results)
         return results
 
@@ -673,6 +714,8 @@ def _plot_layer_grid(results, path):
 
     labels = list(results)
     n = len(labels)
+    if n == 0:
+        raise ValueError("no spectra to plot")
     ncols = 2 if n > 1 else 1
     nrows = (n + ncols - 1) // ncols
     fig, axes = plt.subplots(

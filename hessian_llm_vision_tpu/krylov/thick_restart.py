@@ -56,12 +56,26 @@ def _orth_step(Q, w, n_filled):
     Returns ``(w, norm_after, norm_before)`` — the before/after ratio is
     the numerically meaningful breakdown detector (an absolute threshold
     never fires in f32, where roundoff keeps ||w|| at ~1e-7·||A q||, and
-    normalizing that noise poisons the basis)."""
+    normalizing that noise poisons the basis).
+
+    bf16 buffers matmul in their storage dtype with f32 accumulation
+    (``preferred_element_type``) — no (m+1, P) f32 transient, so the bf16
+    memory plan actually halves peak; the ~1e-3 coefficient error this
+    costs is the bf16-basis floor anyway."""
     nrm0 = jnp.linalg.norm(w)
     mask = (jnp.arange(Q.shape[0]) < n_filled).astype(jnp.float32)
-    Qf = Q.astype(jnp.float32)
-    for _ in range(2):  # two Gram-Schmidt passes
-        w = w - Qf.T @ (mask * (Qf @ w))
+    if Q.dtype == jnp.float32:
+        for _ in range(2):  # two Gram-Schmidt passes
+            w = w - Q.T @ (mask * (Q @ w))
+        return w, jnp.linalg.norm(w), nrm0
+    for _ in range(2):
+        c = jnp.matmul(
+            Q, w.astype(Q.dtype), preferred_element_type=jnp.float32
+        )
+        w = w - jnp.matmul(
+            Q.T, (mask * c).astype(Q.dtype),
+            preferred_element_type=jnp.float32,
+        )
     return w, jnp.linalg.norm(w), nrm0
 
 
@@ -72,8 +86,13 @@ def _set_row(Q, i, v):
 
 @jax.jit
 def _rotate(Q, S_kept):
-    """W = S_keptᵀ Q  (rows = new Ritz vectors), f32 result."""
-    return S_kept.T @ Q.astype(jnp.float32)
+    """W = S_keptᵀ Q  (rows = new Ritz vectors), f32 result; bf16 buffers
+    stay bf16 in the dot (f32 accumulation), avoiding an f32 copy of Q."""
+    if Q.dtype == jnp.float32:
+        return S_kept.T @ Q
+    return jnp.matmul(
+        S_kept.T.astype(Q.dtype), Q, preferred_element_type=jnp.float32
+    )
 
 
 def _select(theta: np.ndarray, k: int, which: str) -> np.ndarray:
@@ -118,9 +137,15 @@ def lanczos_thick_restart(
     # tunnel — CLAUDE.md; nested jit is a no-op if the caller already jits)
     matvec = jax.jit(matvec)
     m = inner if inner is not None else min(dim, max(2 * k + 2, k + 12))
-    if not (k < m <= dim):
-        raise ValueError(f"need k < inner <= dim, got k={k} inner={m} dim={dim}")
-    kk = min(k + max(3, k // 2), m - 2)  # thick-keep count
+    if not (k + 4 <= m <= dim):
+        # m - kk new Krylov directions are built per restart; with fewer
+        # than ~3 the method stalls, burning max_restarts on garbage
+        # (measured: k=5 inner=6 never converges, inner=10 hits 2e-8)
+        raise ValueError(
+            f"need inner >= k+4 and inner <= dim, got k={k} inner={m} "
+            f"dim={dim}"
+        )
+    kk = min(k + max(3, k // 2), m - 3)  # thick-keep count (>= k+1)
 
     q = v0 if v0 is not None else jax.random.normal(key, (dim,), jnp.float32)
     q = q / jnp.maximum(jnp.linalg.norm(q), _EPS)

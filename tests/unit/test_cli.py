@@ -530,6 +530,19 @@ def test_loud_flag_combinations():
                   ["--compare_to", "/tmp/x.npz"], ["--operator", "ggn"]):
         with pytest.raises(SystemExit):
             spectrum.main(base + ["--layerwise"] + extra)
+    # orphan sub-flags without their parent flag are errors too
+    with pytest.raises(SystemExit):
+        spectrum.main(base + ["--tr_dtype", "bfloat16"])
+    with pytest.raises(SystemExit):
+        spectrum.main(base + ["--layerwise_group", "block"])
+    with pytest.raises(SystemExit):
+        spectrum.main(base + ["--thick_restart", "3", "--hutchpp", "8"])
+    # block grouping that matches nothing is loud in BOTH layerwise paths
+    with pytest.raises(SystemExit):
+        spectrum.main(base + ["--layerwise", "--layerwise_group", "block"])
+    with pytest.raises(SystemExit):
+        spectrum.main(base + ["--layerwise", "--layerwise_group", "block",
+                              "--host_loop"])
 
 
 def test_host_loop_single_iteration():
