@@ -62,6 +62,27 @@ def causal_lm_loss(
     return -token_ll.mean()
 
 
+def _head_precision_arg(head_precision: Optional[str]):
+    """Map the head-precision knob to a ``lax.dot_general`` precision.
+
+    TPU MXU pass counts: "high" splits BOTH operands into hi/lo bf16
+    (3 passes: hi*hi + hi*lo + lo*hi); "act_high"/"weight_high" split ONE
+    operand (2 passes) — a measured speed/accuracy point between the
+    bf16x3 head of mixed mode and the 1-pass "default" (see bench.py
+    mixed-mode notes and .logs/head_prec_r3.log).
+    """
+    if head_precision is None:
+        return None  # inherit the caller's jax.default_matmul_precision
+    P = jax.lax.Precision
+    return {
+        "default": P.DEFAULT,
+        "high": P.HIGH,
+        "highest": P.HIGHEST,
+        "act_high": (P.HIGH, P.DEFAULT),
+        "weight_high": (P.DEFAULT, P.HIGH),
+    }[head_precision]
+
+
 def chunked_causal_lm_loss(
     hidden: jax.Array,
     out_kernel: jax.Array,
@@ -72,6 +93,7 @@ def chunked_causal_lm_loss(
     include_padding: bool = False,
     remat: bool = True,
     unroll: bool = False,
+    head_precision: Optional[str] = None,
 ) -> jax.Array:
     """Shifted next-token CE WITHOUT materializing the (B, T, V) logits.
 
@@ -108,9 +130,11 @@ def chunked_causal_lm_loss(
     # per-chunk partial sums as scan OUTPUTS (no scalar carry): a carried
     # scalar's vma type clashes with sharded inputs under shard_map
     # (the shard_map scan-vma rule); stacked outputs sidestep it.
+    prec = _head_precision_arg(head_precision)
+
     def body(carry, inp):
         hc, tc, wc = inp
-        logits = hc @ wk  # (B, chunk, V)
+        logits = jnp.matmul(hc, wk, precision=prec)  # (B, chunk, V)
         logp = jax.nn.log_softmax(logits)
         ll = jnp.take_along_axis(logp, tc[..., None], axis=-1).squeeze(-1)
         return carry, (ll * wc).sum()
@@ -127,6 +151,7 @@ def lm_loss_fn(
     include_padding: bool = False,
     loss_chunk: Optional[int] = None,
     loss_chunk_unroll: bool = False,
+    head_precision: Optional[str] = None,
 ) -> Callable[[Any, Any], jax.Array]:
     """LM loss closure for GPT2LMHead / NeoXLMHead / LlamaLMHead.
 
@@ -136,6 +161,10 @@ def lm_loss_fn(
     ``loss_chunk``: compute the vocab projection + CE in sequence chunks
     of this size via :func:`chunked_causal_lm_loss` (the memory-light
     curvature configuration); ``None`` = dense logits.
+    ``head_precision``: per-operand MXU precision for the vocab-head
+    matmul (chunked path only; see :func:`_head_precision_arg`) —
+    "act_high"/"weight_high" are the 2-pass points between mixed mode's
+    bf16x3 head and the 1-pass "default".
     """
 
     def loss(params, batch):
@@ -159,6 +188,7 @@ def lm_loss_fn(
             chunk=loss_chunk,
             include_padding=include_padding,
             unroll=loss_chunk_unroll,
+            head_precision=head_precision,
         )
 
     return loss_chunked if loss_chunk else loss

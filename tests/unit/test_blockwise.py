@@ -236,3 +236,31 @@ def test_block_q_must_divide_seq_len(key):
     # block_q >= T stays the (documented) dense single-block path
     out = causal_attention(q, q, q, block_q=16)
     assert out.shape == q.shape
+
+
+def test_head_precision_plumbing():
+    """head_precision (per-operand MXU precision on the vocab-head matmul,
+    losses._head_precision_arg) must trace through loss/grad/HVP in every
+    mode.  On CPU all precisions lower to f32, so each mode is exactly
+    value-preserving — pins the plumbing; the TPU accuracy/speed trade is
+    measured on-chip (.logs/head_prec_r3.log, bench.py)."""
+    model = GPT2LMHead(GPT2Config.tiny())
+    params = model.init_params(jax.random.PRNGKey(0), seq_len=T)
+    batch = _batch(model.config.vocab_size)
+    fl = Flattener(params)
+    vec = fl.unflatten(
+        jax.random.normal(jax.random.PRNGKey(3), (fl.size,), jnp.float32)
+    )
+    ref_loss = ref_hvp = None
+    with jax.default_matmul_precision("high"):
+        for mode in (None, "high", "act_high", "weight_high", "default"):
+            lfn = losses.lm_loss_fn(model, loss_chunk=16, head_precision=mode)
+            lo = lfn(params, batch)
+            hv = hvp(lfn, params, batch, vec)
+            if ref_loss is None:
+                ref_loss, ref_hvp = lo, hv
+            else:
+                np.testing.assert_allclose(
+                    np.asarray(lo), np.asarray(ref_loss), atol=1e-6
+                )
+                _hvp_close(hv, ref_hvp, 1e-6)
