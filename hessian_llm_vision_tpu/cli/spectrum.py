@@ -524,8 +524,10 @@ def main(argv=None):
         t1 = time.time()
         # vmapped=False: probes loop over the one cached matvec program
         # (flat memory — the krylov/driver.py host-loop discipline)
+        from hessian_llm_vision_tpu.utils.programs import ensure_program
+
         tr = hutchpp_trace(
-            jax.jit(op.matvec), op.dim, args.hutchpp,
+            ensure_program(op.matvec), op.dim, args.hutchpp,
             jax.random.PRNGKey(args.vector_seed + 1), vmapped=False,
         )
         print(f"trace (hutch++ {args.hutchpp} matvecs) = {float(tr):.6e} "

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from hessian_llm_vision_tpu.curvature.operators import LinearOperator
+from hessian_llm_vision_tpu.utils.programs import mark_program_backed
 from hessian_llm_vision_tpu.utils.flatten import Flattener
 
 
@@ -41,7 +42,10 @@ def GGNOperator(
     """
     fl = flattener or Flattener(params)
 
-    def matvec(v: jax.Array) -> jax.Array:
+    @jax.jit
+    def _prog(v, params, batch):
+        # explicit params/batch jit args: tunnel-safe for host-driven
+        # solvers (see operators.py module docstring)
         vt = fl.unflatten(v)
 
         def f(p):
@@ -59,7 +63,9 @@ def GGNOperator(
             out = out + damping * v
         return out
 
-    return LinearOperator(matvec, fl.size)
+    return LinearOperator(
+        mark_program_backed(lambda v: _prog(v, params, batch)), fl.size
+    )
 
 
 def FisherOperator(
@@ -122,6 +128,7 @@ def EmpiricalFisherOperator(
         for s in range(0, n, chunk):
             yield jax.tree_util.tree_map(lambda x: x[s : s + chunk], batch)
 
+    @jax.jit
     def _apply(G, v):
         # f32-accumulated two-matmul form (dispatches bf16-streaming when
         # G is stored bf16 — same structure as ops.spectral.rank_k_apply)
@@ -157,4 +164,4 @@ def EmpiricalFisherOperator(
                 res = res + damping * v
             return res
 
-    return LinearOperator(matvec, fl.size)
+    return LinearOperator(mark_program_backed(matvec), fl.size)

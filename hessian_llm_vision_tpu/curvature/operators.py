@@ -11,6 +11,16 @@ vectors, its dimension ``P``, and nothing else.  Krylov solvers consume the
 Timing/``init_vec`` injection from ``CurvVecProduct`` are NOT operator
 concerns here: grad-seeding is an explicit ``v0`` argument to Lanczos, and
 timing lives in ``obs.timing``.
+
+Tunnel-safety: every operator's ``matvec`` is backed by ONE internally
+jitted program whose params/batch are EXPLICIT jit arguments — a
+host-driven solver (thick restart, host Lanczos, CG) calling ``matvec``
+per iteration dispatches one cached program per call.  Re-wrapping an
+operator matvec in ``jax.jit`` would trace through the closure and lower
+the captured params as inline HLO constants, which this backend's remote
+compiler cannot digest at 124M+ (CLAUDE.md); don't — it is already jitted.
+Under an OUTER jit (fused Lanczos scan, bench.py) the inner jit inlines
+into the caller's program as before.
 """
 
 from __future__ import annotations
@@ -24,6 +34,7 @@ import jax.numpy as jnp
 from hessian_llm_vision_tpu.curvature.hvp import hvp_fn
 from hessian_llm_vision_tpu.utils.flatten import Flattener
 from hessian_llm_vision_tpu.utils import trees
+from hessian_llm_vision_tpu.utils.programs import mark_program_backed
 
 
 @dataclasses.dataclass
@@ -40,18 +51,33 @@ class LinearOperator:
         """A + sigma*I (the reference's ``cola.PSD(G + 1e-3 I)`` damping,
         /root/reference/colaexp.py:106)."""
         base = self.matvec
-        return LinearOperator(lambda v: base(v) + sigma * v, self.dim)
+        return LinearOperator(
+            self._wrap(lambda v: base(v) + sigma * v), self.dim
+        )
 
     def scaled(self, alpha: float) -> "LinearOperator":
         base = self.matvec
-        return LinearOperator(lambda v: alpha * base(v), self.dim)
+        return LinearOperator(self._wrap(lambda v: alpha * base(v)), self.dim)
+
+    def _wrap(self, fn):
+        # propagate the tunnel-safety marker: a wrapper around a
+        # program-backed matvec must not be re-jitted either (the re-jit
+        # would trace through to the captured params — module docstring)
+        if getattr(self.matvec, "is_program_backed", False):
+            mark_program_backed(fn)
+        return fn
+
+
+@jax.jit
+def _dense_matvec(mat, v):
+    return mat.astype(jnp.float32) @ v.astype(jnp.float32)
 
 
 def MatrixOperator(mat: jax.Array) -> LinearOperator:
     """Dense symmetric matrix as an operator (test fixtures — the reference's
     First-Principles-Lanczos dense ``M=(A+Aᵀ)/2`` notebooks, SURVEY.md §4.1)."""
     return LinearOperator(
-        lambda v: mat.astype(jnp.float32) @ v.astype(jnp.float32), mat.shape[0]
+        mark_program_backed(lambda v: _dense_matvec(mat, v)), mat.shape[0]
     )
 
 
@@ -82,10 +108,13 @@ def HessianOperator(
         precision=precision,
     )
 
-    def matvec(v: jax.Array) -> jax.Array:
+    @jax.jit
+    def _prog(v, params, batch):
         return fl.flatten(_hvp(params, batch, fl.unflatten(v)))
 
-    return LinearOperator(matvec, fl.size)
+    return LinearOperator(
+        mark_program_backed(lambda v: _prog(v, params, batch)), fl.size
+    )
 
 
 def DatasetHessianOperator(
@@ -134,7 +163,8 @@ def DatasetHessianOperator(
     # per-batch means*batch_size sum to the dataset-summed loss
     post_scale = 1.0 / num_batches if normalization == "mean" else 1.0
 
-    def matvec(v: jax.Array) -> jax.Array:
+    @jax.jit
+    def _prog(v, params, batches):
         vt = fl.unflatten(v)
 
         def body(acc, batch):
@@ -145,7 +175,9 @@ def DatasetHessianOperator(
         acc, _ = jax.lax.scan(body, zero, batches)
         return fl.flatten(acc) * post_scale
 
-    return LinearOperator(matvec, fl.size)
+    return LinearOperator(
+        mark_program_backed(lambda v: _prog(v, params, batches)), fl.size
+    )
 
 
 def LayerHessianOperator(
@@ -175,12 +207,16 @@ def LayerHessianOperator(
         dataset_size=dataset_size,
     )
 
-    def matvec(v: jax.Array) -> jax.Array:
+    @jax.jit
+    def _prog(v, params, batch):
+        # mask is a static pytree of Python bools — a jit constant, not data
         vt = trees.mask_tree(fl.unflatten(v), mask)
         out = trees.mask_tree(_hvp(params, batch, vt), mask)
         return fl.flatten(out)
 
-    return LinearOperator(matvec, fl.size)
+    return LinearOperator(
+        mark_program_backed(lambda v: _prog(v, params, batch)), fl.size
+    )
 
 
 def BlockDiagonalOperator(
@@ -220,7 +256,8 @@ def BlockDiagonalOperator(
         dataset_size=dataset_size,
     )
 
-    def matvec(v: jax.Array) -> jax.Array:
+    @jax.jit
+    def _prog(v, params, batch):
         vt = fl.unflatten(v)
         acc = jax.tree_util.tree_map(jnp.zeros_like, params)
         for mask in masks:
@@ -230,4 +267,6 @@ def BlockDiagonalOperator(
             acc = jax.tree_util.tree_map(jnp.add, acc, out)
         return fl.flatten(acc)
 
-    return LinearOperator(matvec, fl.size)
+    return LinearOperator(
+        mark_program_backed(lambda v: _prog(v, params, batch)), fl.size
+    )

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from hessian_llm_vision_tpu.krylov.lanczos import LanczosResult
+from hessian_llm_vision_tpu.utils.programs import ensure_program
 
 
 def lanczos_host_basis(
@@ -48,7 +49,7 @@ def lanczos_host_basis(
     v = np.asarray(v0, np.float64)
     v = v / np.linalg.norm(v)
 
-    jit_mv = jax.jit(matvec)
+    jit_mv = ensure_program(matvec)
     Q = np.zeros((num_iters, dim), np.float32)
     alphas, betas = [], []
     beta_prev = 0.0

@@ -32,6 +32,8 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from hessian_llm_vision_tpu.utils.programs import ensure_program
+
 _EPS = 1e-30
 
 
@@ -234,7 +236,7 @@ def lanczos_checkpointed(
         betas = list(resume_state["betas"])
         start = len(alphas)
 
-    jit_mv = jax.jit(matvec)
+    jit_mv = ensure_program(matvec) if not matvec_args else jax.jit(matvec)
 
     for i in range(start, num_iters):
         w = jit_mv(q_cur, *matvec_args)

@@ -132,10 +132,14 @@ def lanczos_thick_restart(
     """
     if (v0 is None) == (key is None):
         raise ValueError("pass exactly one of v0 / key")
-    # host-driven loop: the matvec MUST be one cached program, not eager
-    # ops (this backend dispatches eager ops synchronously through the
-    # tunnel — CLAUDE.md; nested jit is a no-op if the caller already jits)
-    matvec = jax.jit(matvec)
+    # Host-driven loop: the matvec must already be backed by ONE cached
+    # compiled program (every curvature/ operator matvec is — explicit
+    # params/batch jit args).  Do NOT re-wrap it in jax.jit here: tracing
+    # through the operator closure lowers the captured 124M-param pytree
+    # as inline HLO constants, which this backend's remote compiler cannot
+    # digest (observed: a 124M thick-restart CLI run hung >25 min in
+    # compile; with the pre-jitted operator program it starts iterating
+    # after the normal one-HVP compile).
     m = inner if inner is not None else min(dim, max(2 * k + 2, k + 12))
     if not (k + 4 <= m <= dim):
         # m - kk new Krylov directions are built per restart; with fewer
