@@ -79,8 +79,11 @@ def _orth_step(Q, w, n_filled):
     return w, jnp.linalg.norm(w), nrm0
 
 
-@jax.jit
+@partial(jax.jit, donate_argnums=0)
 def _set_row(Q, i, v):
+    # Donate Q: without it every row write transiently holds TWO (m+1, P)
+    # buffers (8 GB at the 124M/bf16/m=15 config) — measured as the OOM
+    # that killed the first on-chip thick-restart run.
     return jax.lax.dynamic_update_slice(Q, v.astype(Q.dtype)[None, :], (i, 0))
 
 
@@ -93,6 +96,23 @@ def _rotate(Q, S_kept):
     return jnp.matmul(
         S_kept.T.astype(Q.dtype), Q, preferred_element_type=jnp.float32
     )
+
+
+@partial(jax.jit, static_argnames="out_dtype")
+def _rotate_one(Q, coeffs, out_dtype):
+    """One rotated basis row ``coeffsᵀ Q`` in the storage dtype.
+
+    Restart-time variant of :func:`_rotate`: rotating row-by-row and
+    casting straight to ``out_dtype`` never materializes the (kk, P) f32
+    block — at 124M/kk=8 that block is ~4 GB and (as a Python local) it
+    previously stayed referenced through the whole next inner loop."""
+    if Q.dtype == jnp.float32:
+        r = coeffs @ Q
+    else:
+        r = jnp.matmul(
+            coeffs.astype(Q.dtype), Q, preferred_element_type=jnp.float32
+        )
+    return r.astype(out_dtype)
 
 
 def _select(theta: np.ndarray, k: int, which: str) -> np.ndarray:
@@ -200,7 +220,9 @@ def lanczos_thick_restart(
             )
         if done or restart == max_restarts - 1:
             order = wanted[np.argsort(evals[wanted])]
-            V = _rotate(Q[:m], jnp.asarray(S[:, order], jnp.float32))
+            S_out = np.zeros((m + 1, len(order)), np.float64)
+            S_out[:m] = S[:, order]  # zero-padded: full-Q rotate, no slice copy
+            V = _rotate(Q, jnp.asarray(S_out, jnp.float32))
             return ThickRestartResult(
                 eigvals=evals[order],
                 vectors=V,
@@ -212,11 +234,23 @@ def lanczos_thick_restart(
 
         # thick restart: keep the kk best Ritz pairs by the same criterion
         keep = _select(evals, kk, which)
-        W = _rotate(Q[:m], jnp.asarray(S[:, keep], jnp.float32))
+        # coefficients padded with a zero for row m: passing the FULL
+        # (m+1, P) buffer avoids eagerly materializing a Q[:m] slice copy
+        # (~4 GB at 124M) per rotated row
+        S_pad = np.zeros((m + 1, kk), np.float64)
+        S_pad[:m] = S[:, keep]
+        S_keep = jnp.asarray(S_pad, jnp.float32)
         q = jnp.asarray(Q[m], jnp.float32)  # the (m+1)-th Lanczos vector
+        # rotate row-by-row straight into the storage dtype (see
+        # _rotate_one): peak here is old Q + kk store-dtype rows, not
+        # old Q + a (kk, P) f32 block that outlives the restart
+        new_rows = [
+            _rotate_one(Q, S_keep[:, i], store_dtype) for i in range(kk)
+        ]
         Q = jnp.zeros((m + 1, dim), store_dtype)
-        for i in range(kk):  # rows already orthonormal; store (maybe bf16)
-            Q = _set_row(Q, i, W[i])
+        for i, row in enumerate(new_rows):
+            Q = _set_row(Q, i, row)
+        del new_rows
         theta = evals[keep]
         s = beta * S[m - 1, keep]
         n_ret = kk
