@@ -444,6 +444,42 @@ def layerwise_spectrum_host(
     return results
 
 
+@functools.lru_cache(maxsize=32)
+def _jitted_fused_dataset_step(loss_fn, per_batch_norm, precision, fl):
+    """Whole Lanczos iteration of the dataset operator in ONE program.
+
+    ``dataset_spectrum_host``'s unfused loop dispatches 9 programs per
+    iteration (4 batch-HVPs + 3 adds + scale + recurrence on the headline
+    job); through this backend's high-latency tunnel each dispatch costs a
+    round trip, which is ~half the 124M 35-iter wallclock.  Here the
+    batches are STACKED along a leading axis and reduced with ``lax.scan``
+    — the HVP body is traced ONCE, so the program stays in the same size
+    class as one HVP (the remote-compiler ceiling; CLAUDE.md) — and the
+    three-term recurrence rides in the same program with q_cur/q_prev
+    donated.  Dispatches per iteration: 1.
+    """
+    from hessian_llm_vision_tpu.curvature.hvp import hvp_fn
+
+    _hvp = hvp_fn(loss_fn, normalization=per_batch_norm, precision=precision)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(q_cur, q_prev, beta_prev, scale, params, batches):
+        tangent = fl.unflatten(q_cur)
+
+        def body(acc, batch):
+            return acc + fl.flatten(_hvp(params, batch, tangent)), None
+
+        w, _ = jax.lax.scan(body, jnp.zeros_like(q_cur), batches)
+        w = w * scale
+        alpha = jnp.vdot(q_cur, w)
+        w = w - alpha * q_cur - beta_prev * q_prev
+        beta = jnp.linalg.norm(w)
+        q_next = w / jnp.maximum(beta, 1e-30)
+        return alpha, beta, q_next, q_cur
+
+    return step
+
+
 def dataset_spectrum_host(
     loss_fn: Callable[[Any, Any], jax.Array],
     params: Any,
@@ -461,6 +497,7 @@ def dataset_spectrum_host(
     operator: str = "hessian",
     model_fn: Optional[Callable[[Any, Any], jax.Array]] = None,
     out_loss_fn: Optional[Callable[[jax.Array, Any], jax.Array]] = None,
+    fused: bool = False,
 ) -> LanczosResult:
     """T-only Lanczos of the dataset-mean curvature operator, host-driven.
 
@@ -472,6 +509,11 @@ def dataset_spectrum_host(
     (requires ``model_fn`` + ``out_loss_fn``; Fisher == GGN of the NLL) —
     the LLM-scale path for the reference's GN/FIM spectra
     (colaexp.py:100-110).
+
+    ``fused``: run each whole iteration (scan-over-batches HVP reduce +
+    three-term recurrence) as ONE donating program
+    (:func:`_jitted_fused_dataset_step`) — 1 dispatch/iteration instead of
+    ~9; the tunnel-latency win.  Hessian operator only.
     """
     fl = flattener or Flattener(params)
     if (v0 is None) == (key is None):
@@ -499,6 +541,15 @@ def dataset_spectrum_host(
     else:
         raise ValueError(f"unknown operator {operator!r}")
 
+    fstep = stacked = None
+    if fused:
+        if operator != "hessian":
+            raise ValueError("fused=True supports operator='hessian' only")
+        fstep = _jitted_fused_dataset_step(loss_fn, per_batch_norm, precision, fl)
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *batch_list
+        )
+        scale_dev = jnp.float32(scale)
     if v0 is None:
         v0 = jax.random.normal(key, (fl.size,), jnp.float32)
     q_cur = v0.astype(jnp.float32)
@@ -509,13 +560,19 @@ def dataset_spectrum_host(
     betas: List[float] = []
     for i in range(num_iters):
         t0 = time.perf_counter()
-        w = batch_hvp(q_cur, params, batch_list[0])
-        for b in batch_list[1:]:
-            w = _jit_add(w, batch_hvp(q_cur, params, b))
-        if scale != 1.0:
-            w = _jit_scale(w, jnp.float32(scale))
-        alpha, beta, q_next = host_recurrence_step(w, q_cur, q_prev, beta_prev)
-        q_prev, q_cur, beta_prev = q_cur, q_next, beta
+        if fused:
+            alpha, beta, q_cur, q_prev = fstep(
+                q_cur, q_prev, beta_prev, scale_dev, params, stacked
+            )
+            beta_prev = beta
+        else:
+            w = batch_hvp(q_cur, params, batch_list[0])
+            for b in batch_list[1:]:
+                w = _jit_add(w, batch_hvp(q_cur, params, b))
+            if scale != 1.0:
+                w = _jit_scale(w, jnp.float32(scale))
+            alpha, beta, q_next = host_recurrence_step(w, q_cur, q_prev, beta_prev)
+            q_prev, q_cur, beta_prev = q_cur, q_next, beta
         # keep alpha/beta as DEVICE scalars: a float() per iteration is a
         # synchronous host fetch that stalls the dispatch pipeline (measured
         # 1.8x on the whole spectrum through a high-latency link); they are

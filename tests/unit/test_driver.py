@@ -237,3 +237,67 @@ def test_fused_step_bf16_qprev(key):
     scale = max(abs(ev32[0]), abs(ev32[-1]))
     assert abs(ev16[-1] - ev32[-1]) / scale < 2e-3
     assert abs(ev16[0] - ev32[0]) / scale < 2e-3
+
+
+def test_fused_dataset_iteration_matches_unfused(key):
+    """fused=True (one scan-over-batches program per iteration) must be
+    numerically equivalent to the 9-dispatch unfused loop."""
+    x, y = make_spirals(120, seed=17)
+    model = SpiralMLP(width=10, depth=2)
+    params = model.init(key, x[:4])["params"]
+
+    def loss_fn(p, b):
+        return losses.softmax_cross_entropy(model.apply({"params": p}, b[0]), b[1])
+
+    xs = jnp.asarray(x).reshape(4, 30, 2)
+    ys = jnp.asarray(y).reshape(4, 30)
+    batch_list = [(xs[i], ys[i]) for i in range(4)]
+    fl = Flattener(params)
+    v0 = jax.random.normal(jax.random.fold_in(key, 3), (fl.size,))
+
+    res_u = dataset_spectrum_host(
+        loss_fn, params, batch_list, 12, v0=v0, flattener=fl
+    )
+    res_f = dataset_spectrum_host(
+        loss_fn, params, batch_list, 12, v0=v0, flattener=fl, fused=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_u.alphas[:6]), np.asarray(res_f.alphas[:6]),
+        rtol=1e-4, atol=1e-5,
+    )
+    su, sf = ritz_decomposition(res_u), ritz_decomposition(res_f)
+    np.testing.assert_allclose(
+        float(su.eigvals[-1]), float(sf.eigvals[-1]), rtol=1e-4
+    )
+    # sum normalization rides through the in-program scale
+    res_us = dataset_spectrum_host(
+        loss_fn, params, batch_list, 8, v0=v0, flattener=fl,
+        normalization="sum", batch_size=30,
+    )
+    res_fs = dataset_spectrum_host(
+        loss_fn, params, batch_list, 8, v0=v0, flattener=fl,
+        normalization="sum", batch_size=30, fused=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_us.alphas[:4]), np.asarray(res_fs.alphas[:4]),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_fused_dataset_rejects_ggn(key):
+    x, y = make_spirals(30, seed=18)
+    model = SpiralMLP(width=6, depth=1)
+    params = model.init(key, x[:4])["params"]
+
+    def loss_fn(p, b):
+        return losses.softmax_cross_entropy(model.apply({"params": p}, b[0]), b[1])
+
+    import pytest
+
+    with pytest.raises(ValueError, match="fused"):
+        dataset_spectrum_host(
+            loss_fn, params, [(jnp.asarray(x), jnp.asarray(y))], 3,
+            key=key, operator="ggn", fused=True,
+            model_fn=lambda p, b: model.apply({"params": p}, b[0]),
+            out_loss_fn=lambda o, b: losses.softmax_cross_entropy(o, b[1]),
+        )
