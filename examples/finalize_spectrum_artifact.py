@@ -37,6 +37,9 @@ def main():
         if k not in ("eigvals", "gammas", "V"):
             v = d[k]
             summary[k] = v.item() if getattr(v, "size", 2) == 1 else v.tolist()
+            if k.startswith("meta_tr_"):
+                # golden contracts read the unprefixed name (tr_converged)
+                summary[k[len("meta_"):]] = summary[k]
     if wall_s is not None:
         summary["wall_s"] = wall_s
     out = os.path.join(art, "summary.json")
