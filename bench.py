@@ -160,19 +160,18 @@ def main() -> None:
     # exercised by dryrun_multichip and tests/distributed).  HVP throughput,
     # the cost driver, is identical in both modes.
     #
-    # Host-driven iteration with ONE jitted Lanczos step whose params/batches
-    # are EXPLICIT jit arguments: the fully-fused 35-iteration program made
-    # this backend's remote compiler fall over (HTTP 500), and closed-over
-    # arrays lower as inline HLO constants.  Per-iteration host dispatch
-    # costs ~nothing next to a 124M HVP.
-    # Backend program-size ceiling: the remote compile helper crashes
-    # (HTTP 500) on any program much larger than ONE un-remat'd 124M HVP —
-    # a scan or even an unrolled pair of HVPs fails, as does jax.checkpoint.
-    # So the dataset average runs as a HOST loop over a single cached
-    # per-batch HVP program; the accumulate/recurrence helpers are separate
-    # tiny programs.  All params/batches are explicit jit args (closed-over
-    # arrays lower as inline HLO constants and bloat the remote compile).
+    # Host-driven iteration over ONE jitted Lanczos-step program whose
+    # params/batches are EXPLICIT jit arguments (closed-over arrays lower
+    # as inline HLO constants and bloat the remote compile).  Backend
+    # program-size ceiling: the remote compile helper crashes (HTTP 500)
+    # on any program much larger than ONE un-remat'd 124M HVP — the fully
+    # fused 35-iteration program and jax.checkpoint both fail.  A
+    # lax.scan whose BODY is one HVP stays inside the ceiling (the body
+    # is traced once), which is what the fused dataset step exploits:
+    # scan-over-batches reduce + recurrence in one donating program, one
+    # dispatch per iteration.
     from hessian_llm_vision_tpu.curvature import HessianOperator
+    from hessian_llm_vision_tpu.krylov.driver import dataset_spectrum_host
     from hessian_llm_vision_tpu.utils.flatten import Flattener
 
     fl = Flattener(params)
@@ -187,50 +186,27 @@ def main() -> None:
 
         return batch_hvp
 
-    batch_hvp = make_batch_hvp(loss_fn)  # strict bf16x3 (parity anchor)
-    batch_hvp_mixed = make_batch_hvp(loss_fn_mixed)  # headline
-
-    @jax.jit
-    def recurrence(w, q_cur, q_prev, beta_prev):
-        alpha = jnp.vdot(q_cur, w)
-        w = w - alpha * q_cur - beta_prev * q_prev
-        beta = jnp.linalg.norm(w)
-        return alpha, beta, w / jnp.maximum(beta, 1e-30)
+    batch_hvp_mixed = make_batch_hvp(loss_fn_mixed)  # for XLA cost analysis
 
     dim = fl.size
     batch_list = [batches["input_ids"][i] for i in range(num_batches)]
+    batch_dicts = [{"input_ids": ids} for ids in batch_list]
 
-    def make_dataset_hvp(bh):
-        def dataset_hvp(v):
-            # dataset-mean = mean of equal-size per-batch mean-HVPs
-            # (gpt2_savehessian.py:154 `loss *= batch/N` semantics)
-            w = bh(v, params, batch_list[0])
-            for ids in batch_list[1:]:
-                w = w + bh(v, params, ids)
-            return w / num_batches
-
-        return dataset_hvp
-
-    dataset_hvp = make_dataset_hvp(batch_hvp_mixed)  # headline operator
-    dataset_hvp_strict = make_dataset_hvp(batch_hvp)
-
-    def spectrum(key, dhvp=None):
+    # The headline runs the PRODUCTION path: dataset_spectrum_host with
+    # fused=True — the whole iteration (scan-over-batches HVP reduce +
+    # three-term recurrence) is ONE donating program, so per-iteration
+    # dispatch through the remote tunnel is a single round trip (measured
+    # 20.0 -> 19.3 s vs the 9-dispatch loop at this protocol; the fused
+    # program compiles inside the remote one-HVP size ceiling).
+    def spectrum(key, lfn=None):
         import numpy as np
 
-        dhvp = dhvp or dataset_hvp
-        q_cur = jax.random.normal(key, (dim,), jnp.float32)
-        q_cur = q_cur / jnp.linalg.norm(q_cur)
-        q_prev = jnp.zeros_like(q_cur)
-        beta_prev = jnp.float32(0.0)
-        alphas, betas = [], []
-        for _ in range(iters):
-            w = dhvp(q_cur)
-            alpha, beta, q_next = recurrence(w, q_cur, q_prev, beta_prev)
-            q_prev, q_cur, beta_prev = q_cur, q_next, beta
-            alphas.append(alpha)
-            betas.append(beta)
-        a = np.asarray(jnp.stack(alphas))
-        b = np.asarray(jnp.stack(betas))[:-1]
+        res = dataset_spectrum_host(
+            lfn or loss_fn_mixed, params, batch_dicts, iters,
+            key=key, flattener=fl, precision="high", fused=True,
+        )
+        a = np.asarray(res.alphas)
+        b = np.asarray(res.betas)
         T = np.diag(a) + np.diag(b, 1) + np.diag(b, -1)
         ev, evec = np.linalg.eigh(T)
         return jnp.asarray(ev), jnp.asarray(evec[0, :] ** 2)
@@ -254,10 +230,10 @@ def main() -> None:
 
     # strict bf16x3 spectrum: same probe, parity cross-check + its own
     # throughput number (the round-1/2 headline mode)
-    ev_s, _ = spectrum(jax.random.PRNGKey(42), dataset_hvp_strict)  # warm
+    ev_s, _ = spectrum(jax.random.PRNGKey(42), loss_fn)  # warm
     jax.block_until_ready(ev_s)
     t0 = time.perf_counter()
-    ev_s, _ = spectrum(jax.random.PRNGKey(7), dataset_hvp_strict)
+    ev_s, _ = spectrum(jax.random.PRNGKey(7), loss_fn)
     jax.block_until_ready(ev_s)
     wall_strict = time.perf_counter() - t0
     mixed_err_max = abs(float(ev[-1]) - float(ev_s[-1])) / abs(float(ev_s[-1]))
@@ -329,7 +305,12 @@ def main() -> None:
         tracedir = tempfile.mkdtemp(prefix="bench_trace_")
         v_trace = jnp.ones((dim,), jnp.float32) / np.sqrt(dim)
         with profile_trace(tracedir):
-            jax.block_until_ready(dataset_hvp(v_trace))
+            # one warm fused iteration (scan-over-4-batch HVP + recurrence)
+            res_tr = dataset_spectrum_host(
+                loss_fn_mixed, params, batch_dicts, 1, v0=v_trace,
+                flattener=fl, precision="high", fused=True,
+            )
+            jax.block_until_ready(res_tr.alphas)
         top_ops = [
             {"op": name, "ms": round(ms, 2), "pct": round(pct, 1)}
             for name, ms, pct in summarize_trace(tracedir, top=3)
@@ -439,23 +420,19 @@ def main() -> None:
     # Runs LAST: it compiles its own 124M HVP program, and the chip heap
     # is tight after the rank-k section (basis is freed just above).
     del basis_bf16  # the last big allocation from the rank-k section
-    from hessian_llm_vision_tpu.krylov.driver import dataset_spectrum_host
-    from hessian_llm_vision_tpu.utils.flatten import Flattener as _Fl
 
-    fl_fast = _Fl(params)
-    v0_fast = jax.random.normal(jax.random.PRNGKey(7), (fl_fast.size,), jnp.float32)
-    batch_dicts = [{"input_ids": ids} for ids in batch_list]
+    v0_fast = jax.random.normal(jax.random.PRNGKey(7), (fl.size,), jnp.float32)
     res_fast = dataset_spectrum_host(  # warm/compile
-        loss_fn, params, batch_dicts, 2, v0=v0_fast, flattener=fl_fast,
-        precision="default",
+        loss_fn, params, batch_dicts, 2, v0=v0_fast, flattener=fl,
+        precision="default", fused=True,
     )
     import numpy as _np
 
     _np.asarray(res_fast.alphas)
     t0 = time.perf_counter()
     res_fast = dataset_spectrum_host(
-        loss_fn, params, batch_dicts, iters, v0=v0_fast, flattener=fl_fast,
-        precision="default",
+        loss_fn, params, batch_dicts, iters, v0=v0_fast, flattener=fl,
+        precision="default", fused=True,
     )
     a_f = _np.asarray(res_fast.alphas)
     b_f = _np.asarray(res_fast.betas)
@@ -482,6 +459,9 @@ def main() -> None:
             "memory_light_note": "blockwise attention + chunked-vocab loss; "
             "reference bs16 default now fits one chip (dense path 1.77x "
             "slower, same Ritz values)",
+            "dispatch_note": "fused dataset iteration (krylov/driver.py): "
+            "scan-over-batches HVP reduce + recurrence in ONE donating "
+            "program, 1 dispatch/iter vs 9 (measured 20.0 -> 19.3 s)",
             "strict_mode_wallclock": round(wall_strict, 3),
             "strict_mode_hvps_per_sec": round(hvps_per_sec_strict, 3),
             "strict_mode_lambda_max": float(ev_s[-1]),

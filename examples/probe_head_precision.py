@@ -20,7 +20,11 @@ relative to strict.  Run AFTER the chip is free (one TPU job at a time).
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
