@@ -81,6 +81,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="with --host_loop + a single batch: fuse HVP + "
                    "recurrence into one DONATING program (>1B-param memory "
                    "plan: params + 2 live P-buffers instead of 4)")
+    p.add_argument("--fused_iter", action="store_true",
+                   help="with --host_loop: run each whole iteration "
+                   "(scan-over-batches HVP reduce + recurrence) as ONE "
+                   "donating program — 1 tunnel dispatch/iter instead of "
+                   "~2+batches (bench.py headline mode; Hessian only)")
     p.add_argument("--qprev_bf16", action="store_true",
                    help="store the lagged Lanczos vector in bf16 (frees "
                    "half a P-buffer; ~1e-3 extreme-Ritz perturbation)")
@@ -225,6 +230,22 @@ def main(argv=None):
     if args.qprev_bf16 and not args.fused_step:
         raise SystemExit("--qprev_bf16 requires --fused_step (the plain "
                          "host loop keeps all flat vectors f32)")
+    if args.fused_iter and (
+        not args.host_loop or args.fused_step or args.bigmodel
+        or args.operator != "hessian"
+    ):
+        raise SystemExit(
+            "--fused_iter needs --host_loop with the hessian operator "
+            "(and is exclusive with --fused_step/--bigmodel)"
+        )
+    if (args.bigmodel or args.fused_step) and not args.host_loop:
+        # without --host_loop these silently fall through to the flat
+        # in-core/checkpointed paths, whose P-vector copies OOM exactly
+        # the >1B models the flags exist for (measured: a 1.4B
+        # --bigmodel-without---host_loop run needed 20.4 GB)
+        raise SystemExit(
+            "--bigmodel/--fused_step are --host_loop modes; add --host_loop"
+        )
     if args.thick_restart and (
         args.host_loop or args.layerwise or args.fused_step or args.bigmodel
     ):
@@ -358,6 +379,7 @@ def main(argv=None):
                     model_fn=wl.model_fn,
                     out_loss_fn=wl.out_loss_fn,
                     precision=args.hvp_precision,
+                    fused=args.fused_iter,
                 )
             s = ritz_decomposition(res)
             all_ev.append(np.asarray(s.eigvals))

@@ -573,3 +573,30 @@ def test_vision_num_batches_zero_means_uncapped():
         "--subsample", "0.01", "--cpu",
     ]))
     assert len(wl.batches) >= 1
+
+
+def test_spectrum_cli_fused_iter(tmp_path, capsys):
+    """--host_loop --fused_iter (one program per iteration) matches the
+    unfused host loop's spectrum, and the loud-flag preconditions fire."""
+    from hessian_llm_vision_tpu.cli import spectrum
+
+    out_u = str(tmp_path / "spec_u")
+    out_f = str(tmp_path / "spec_f")
+    args = [
+        "--model", "gpt2-tiny", "--lanczos_iters", "5", "--batch_size", "2",
+        "--num_batches", "2", "--max_length", "16",
+    ]
+    spectrum.main(args + ["--host_loop", "--out_spectrum", out_u])
+    spectrum.main(
+        args + ["--host_loop", "--fused_iter", "--out_spectrum", out_f]
+    )
+    du = np.load(out_u + ".npz")
+    df = np.load(out_f + ".npz")
+    np.testing.assert_allclose(
+        np.sort(du["eigvals"])[-1], np.sort(df["eigvals"])[-1], rtol=1e-4
+    )
+
+    with pytest.raises(SystemExit, match="fused_iter"):
+        spectrum.main(args + ["--fused_iter"])
+    with pytest.raises(SystemExit, match="host_loop"):
+        spectrum.main(args[:2] + ["--bigmodel", "--num_batches", "1"])
