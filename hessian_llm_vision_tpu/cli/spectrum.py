@@ -232,10 +232,9 @@ def main(argv=None):
                          "host loop keeps all flat vectors f32)")
     if args.fused_iter and (
         not args.host_loop or args.fused_step or args.bigmodel
-        or args.operator != "hessian"
     ):
         raise SystemExit(
-            "--fused_iter needs --host_loop with the hessian operator "
+            "--fused_iter needs --host_loop "
             "(and is exclusive with --fused_step/--bigmodel)"
         )
     if (args.bigmodel or args.fused_step) and not args.host_loop:

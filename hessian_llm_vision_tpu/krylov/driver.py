@@ -480,6 +480,49 @@ def _jitted_fused_dataset_step(loss_fn, per_batch_norm, precision, fl):
     return step
 
 
+@functools.lru_cache(maxsize=32)
+def _jitted_fused_dataset_ggn_step(model_fn, out_loss_fn, precision, fl):
+    """GGN/Fisher variant of :func:`_jitted_fused_dataset_step`: the
+    dataset-averaged ``Jᵀ H_out J v`` reduce + three-term recurrence as one
+    donating scan-over-batches program (same per-batch product as
+    :func:`_jitted_batch_ggn`)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(q_cur, q_prev, beta_prev, scale, params, batches):
+        vt = fl.unflatten(q_cur)
+
+        def one(batch):
+            def f(p):
+                return model_fn(p, batch)
+
+            def run():
+                outputs, jv = jax.jvp(f, (params,), (vt,))
+                h_jv = jax.jvp(
+                    jax.grad(lambda o: out_loss_fn(o, batch)), (outputs,), (jv,)
+                )[1]
+                _, vjp_fn = jax.vjp(f, params)
+                (jt_h_jv,) = vjp_fn(h_jv)
+                return fl.flatten(jt_h_jv)
+
+            if precision is not None:
+                with jax.default_matmul_precision(precision):
+                    return run()
+            return run()
+
+        def body(acc, batch):
+            return acc + one(batch), None
+
+        w, _ = jax.lax.scan(body, jnp.zeros_like(q_cur), batches)
+        w = w * scale
+        alpha = jnp.vdot(q_cur, w)
+        w = w - alpha * q_cur - beta_prev * q_prev
+        beta = jnp.linalg.norm(w)
+        q_next = w / jnp.maximum(beta, 1e-30)
+        return alpha, beta, q_next, q_cur
+
+    return step
+
+
 def dataset_spectrum_host(
     loss_fn: Callable[[Any, Any], jax.Array],
     params: Any,
@@ -510,10 +553,11 @@ def dataset_spectrum_host(
     the LLM-scale path for the reference's GN/FIM spectra
     (colaexp.py:100-110).
 
-    ``fused``: run each whole iteration (scan-over-batches HVP reduce +
+    ``fused``: run each whole iteration (scan-over-batches matvec reduce +
     three-term recurrence) as ONE donating program
-    (:func:`_jitted_fused_dataset_step`) — 1 dispatch/iteration instead of
-    ~9; the tunnel-latency win.  Hessian operator only.
+    (:func:`_jitted_fused_dataset_step` /
+    :func:`_jitted_fused_dataset_ggn_step`) — 1 dispatch/iteration instead
+    of ~9; the tunnel-latency win.
     """
     fl = flattener or Flattener(params)
     if (v0 is None) == (key is None):
@@ -543,9 +587,16 @@ def dataset_spectrum_host(
 
     fstep = stacked = None
     if fused:
-        if operator != "hessian":
-            raise ValueError("fused=True supports operator='hessian' only")
-        fstep = _jitted_fused_dataset_step(loss_fn, per_batch_norm, precision, fl)
+        if operator in ("ggn", "fisher"):
+            # same scale factor as the unfused GGN path (out_loss_fn is a
+            # per-batch mean; "sum" semantics ride the shared scale)
+            fstep = _jitted_fused_dataset_ggn_step(
+                model_fn, out_loss_fn, precision, fl
+            )
+        else:
+            fstep = _jitted_fused_dataset_step(
+                loss_fn, per_batch_norm, precision, fl
+            )
         stacked = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *batch_list
         )

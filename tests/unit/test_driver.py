@@ -284,20 +284,40 @@ def test_fused_dataset_iteration_matches_unfused(key):
     )
 
 
-def test_fused_dataset_rejects_ggn(key):
-    x, y = make_spirals(30, seed=18)
-    model = SpiralMLP(width=6, depth=1)
+def test_fused_dataset_ggn_matches_unfused(key):
+    """fused=True with operator='ggn' == the unfused GGN host loop."""
+    x, y = make_spirals(120, seed=18)
+    model = SpiralMLP(width=8, depth=1)
     params = model.init(key, x[:4])["params"]
 
     def loss_fn(p, b):
         return losses.softmax_cross_entropy(model.apply({"params": p}, b[0]), b[1])
 
-    import pytest
+    def model_fn(p, b):
+        return model.apply({"params": p}, b[0])
 
-    with pytest.raises(ValueError, match="fused"):
-        dataset_spectrum_host(
-            loss_fn, params, [(jnp.asarray(x), jnp.asarray(y))], 3,
-            key=key, operator="ggn", fused=True,
-            model_fn=lambda p, b: model.apply({"params": p}, b[0]),
-            out_loss_fn=lambda o, b: losses.softmax_cross_entropy(o, b[1]),
-        )
+    def out_loss_fn(o, b):
+        return losses.softmax_cross_entropy(o, b[1])
+
+    xs = jnp.asarray(x).reshape(4, 30, 2)
+    ys = jnp.asarray(y).reshape(4, 30)
+    batch_list = [(xs[i], ys[i]) for i in range(4)]
+    fl = Flattener(params)
+    v0 = jax.random.normal(jax.random.fold_in(key, 5), (fl.size,))
+
+    kw = dict(v0=v0, flattener=fl, operator="ggn",
+              model_fn=model_fn, out_loss_fn=out_loss_fn)
+    res_u = dataset_spectrum_host(loss_fn, params, batch_list, 10, **kw)
+    res_f = dataset_spectrum_host(
+        loss_fn, params, batch_list, 10, fused=True, **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_u.alphas[:5]), np.asarray(res_f.alphas[:5]),
+        rtol=1e-4, atol=1e-6,
+    )
+    su, sf = ritz_decomposition(res_u), ritz_decomposition(res_f)
+    np.testing.assert_allclose(
+        float(su.eigvals[-1]), float(sf.eigvals[-1]), rtol=1e-4
+    )
+    # GGN is PSD: fused path must preserve that
+    assert float(sf.eigvals[0]) > -1e-5
