@@ -28,6 +28,18 @@ import jax.numpy as jnp
 from hessian_llm_vision_tpu.models.attention import causal_attention
 
 
+def maybe_constrain(x, sharding):
+    """Assert ``sharding`` on the residual stream (no-op when None).
+
+    The constraint is differentiable and exact — grads/HVPs through it
+    match the unconstrained model to reduction-order tolerance
+    (tests/distributed/test_seq_parallel.py); it only tells XLA's SPMD
+    partitioner where the (B, T, C) activations live between blocks."""
+    if sharding is None:
+        return x
+    return jax.lax.with_sharding_constraint(x, sharding)
+
+
 @dataclasses.dataclass(frozen=True)
 class GPT2Config:
     vocab_size: int = 50257
@@ -51,6 +63,13 @@ class GPT2Config:
     # while the vocab-head matmul/log-softmax (the direct loss path) keeps
     # 3-pass precision.  See bench.py mixed-mode parity measurements.
     block_matmul_precision: str | None = None
+    # sequence-parallel residual stream: a jax Sharding for the (B, T, C)
+    # activations, asserted after the embedding and after every block so
+    # XLA's partitioner keeps the norm/MLP/loss regions sharded along T
+    # (gathering only where attention needs the full context).  Build via
+    # parallel.seq_parallel.seq_sharding(mesh); the single-example
+    # long-context memory lever where data parallelism cannot shard.
+    seq_sharding: object | None = None
 
     @property
     def head_dim(self) -> int:
@@ -144,13 +163,16 @@ class GPT2LMHead(nn.Module):
             jnp.float32,
         )
         x = wte[input_ids].astype(cfg.dtype) + wpe[:T][None].astype(cfg.dtype)
+        x = maybe_constrain(x, cfg.seq_sharding)
         if cfg.block_matmul_precision is not None:
             with jax.default_matmul_precision(cfg.block_matmul_precision):
                 for i in range(cfg.n_layer):
                     x = Block(cfg, name=f"h_{i}")(x, deterministic)
+                    x = maybe_constrain(x, cfg.seq_sharding)
         else:
             for i in range(cfg.n_layer):
                 x = Block(cfg, name=f"h_{i}")(x, deterministic)
+                x = maybe_constrain(x, cfg.seq_sharding)
         x = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln_f")(x)
         if return_hidden:
             # final pre-logit hidden states; combine with output_kernel()

@@ -22,6 +22,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from hessian_llm_vision_tpu.models.gpt2 import maybe_constrain
 from hessian_llm_vision_tpu.models.attention import causal_attention
 
 
@@ -44,6 +45,9 @@ class LlamaConfig:
     # transformer-block matmul precision override (None = inherit); the
     # mixed curvature mode — see models/gpt2.py::GPT2Config
     block_matmul_precision: str | None = None
+    # sequence-parallel residual-stream sharding (jax Sharding or None);
+    # see models/gpt2.py::GPT2Config.seq_sharding
+    seq_sharding: object | None = None
 
     @property
     def head_dim(self) -> int:
@@ -196,13 +200,16 @@ class LlamaLMHead(nn.Module):
             jnp.float32,
         )
         x = emb[input_ids].astype(cfg.dtype)
+        x = maybe_constrain(x, cfg.seq_sharding)
         if cfg.block_matmul_precision is not None:
             with jax.default_matmul_precision(cfg.block_matmul_precision):
                 for i in range(cfg.num_layers):
                     x = LlamaBlock(cfg, name=f"layer_{i}")(x)
+                    x = maybe_constrain(x, cfg.seq_sharding)
         else:
             for i in range(cfg.num_layers):
                 x = LlamaBlock(cfg, name=f"layer_{i}")(x)
+                x = maybe_constrain(x, cfg.seq_sharding)
         x = RMSNorm(cfg.rms_eps, cfg.dtype, name="norm")(x)
         if return_hidden:
             return x

@@ -10,6 +10,10 @@ from hessian_llm_vision_tpu.parallel.hvp_sharded import (
     sharded_grad_fn,
 )
 from hessian_llm_vision_tpu.parallel.offload import to_host, to_device
+from hessian_llm_vision_tpu.parallel.seq_parallel import (
+    seq_sharding,
+    seq_parallel_config,
+)
 from hessian_llm_vision_tpu.parallel.param_sharding import (
     shard_params_for_tp,
     tp_spec_tree,
@@ -29,4 +33,6 @@ __all__ = [
     "shard_params_for_tp",
     "tp_spec_tree",
     "DEFAULT_TP_RULES",
+    "seq_sharding",
+    "seq_parallel_config",
 ]
