@@ -15,6 +15,13 @@ protocol (GPT-2 124M, bs8/seq512, blk/chunk 512):
 
 For each: 10-iter Lanczos extreme Ritz values + wall-clock; errors are
 relative to strict.  Run AFTER the chip is free (one TPU job at a time).
+
+FROZEN METHODOLOGY NOTE: this probe hand-rolls the pre-fused host Lanczos
+dispatch (per-batch HVP + local recurrence jit) because its committed
+timings were measured under that pattern and must stay reproducible.
+New measurement code should call ``dataset_spectrum_host(..., fused=True)``
+(krylov/driver.py) — the production path bench.py runs — instead of
+copying this loop.
 """
 
 from __future__ import annotations

@@ -157,6 +157,26 @@ def build_workload(args) -> Workload:
     loss_chunk = getattr(args, "loss_chunk", None)
     block_prec = getattr(args, "block_precision", None)
 
+    # LM-only knobs must not silently no-op on vision/spiral models (the
+    # loud-flags policy: a user asking for the mixed curvature mode or the
+    # memory-light attention plan must get it or an error, never neither)
+    if not name.startswith(("gpt2", "pythia", "llama")):
+        dropped = [
+            flag
+            for flag, set_ in [
+                ("--attn_block_q", attn_blk is not None),
+                ("--block_precision (or --*_precision mixed)",
+                 block_prec is not None),
+                ("--loss_chunk", loss_chunk is not None),
+            ]
+            if set_
+        ]
+        if dropped:
+            raise SystemExit(
+                f"{', '.join(dropped)} apply to LM models only; "
+                f"model {name!r} has no transformer-block/vocab path"
+            )
+
     if name.startswith("gpt2"):
         cfg = (
             GPT2Config.tiny(n_positions=max(64, args.max_length))

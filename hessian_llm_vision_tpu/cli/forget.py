@@ -35,10 +35,14 @@ def build_parser():
     p.add_argument("--epochs_a", type=int, default=600)
     p.add_argument("--epochs_b", type=int, default=30)
     p.add_argument("--k", type=int, default=10, help="eigenbasis size")
-    p.add_argument("--thick_restart", type=int, default=0, metavar="M",
-                   help="compute the task-A basis as k CONVERGED top-|λ| "
-                   "eigenpairs by thick-restart Lanczos inside an M-vector "
-                   "buffer (M > k), instead of one unrestarted k-iter pass")
+    p.add_argument("--thick_restart", action="store_true",
+                   help="compute the task-A basis as --k CONVERGED top-|λ| "
+                   "eigenpairs by thick-restart Lanczos, instead of one "
+                   "unrestarted k-iter pass (spectrum CLI's --thick_restart "
+                   "K plays the --k role there)")
+    p.add_argument("--tr_inner", type=int, default=None, metavar="M",
+                   help="thick-restart inner buffer size (default "
+                   "max(2k+2, k+12))")
     p.add_argument("--dataset_a", type=int, nargs="*", default=[0, 1, 2, 3, 4])
     p.add_argument("--dataset_b", type=int, nargs="*", default=[5, 6, 7, 8, 9])
     p.add_argument("--batch_size_b", type=int, default=0,
@@ -221,15 +225,15 @@ def main(argv=None):
 
         tres = lanczos_thick_restart(
             op.matvec, op.dim, args.k, key=jax.random.fold_in(key, 1),
-            inner=args.thick_restart, which="lm",
+            inner=args.tr_inner, which="lm",
         )
         if not tres.converged:
             raise SystemExit(
-                f"--thick_restart {args.thick_restart}: basis NOT converged "
+                f"--thick_restart: basis NOT converged "
                 f"after {tres.restarts} restarts (max resid "
-                f"{tres.residuals.max():.1e}); raise M (or drop the flag "
-                "for a plain one-pass basis) rather than projecting onto "
-                "an unconverged basis"
+                f"{tres.residuals.max():.1e}); raise --tr_inner (or drop "
+                "the flag for a plain one-pass basis) rather than "
+                "projecting onto an unconverged basis"
             )
         basis = tres.vectors
         lam_max = float(tres.eigvals.max())

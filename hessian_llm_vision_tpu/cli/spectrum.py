@@ -298,10 +298,14 @@ def main(argv=None):
         from hessian_llm_vision_tpu.krylov import dataset_spectrum_host
 
         def cb(i, alphas, betas):
-            if args.t_checkpoint:
-                save_tridiag(args.t_checkpoint, alphas, betas,
-                             vector_seed=args.vector_seed, iter=i)
+            save_tridiag(args.t_checkpoint, alphas, betas,
+                         vector_seed=args.vector_seed, iter=i)
 
+        # no --t_checkpoint -> callback=None: a non-None callback forces a
+        # synchronous device->host T fetch per iteration, serializing host
+        # dispatch against device compute through the tunnel (the ~1.8x
+        # stall the fused iteration exists to remove)
+        cb = cb if args.t_checkpoint else None
         t0 = time.time()
         # --probes > 1: sequential seeded probes, SLQ-averaged (the d.sh
         # data_seed x vector_seed grid, in one process, at any model scale)
@@ -331,6 +335,7 @@ def main(argv=None):
                         if args.normalization == "dataset"
                         else args.normalization
                     ),
+                    batch_size=wl.batch_size,
                     q_dtype=args.bigmodel_q,
                     callback=cb,
                     progress=args.probes == 1,
@@ -578,7 +583,10 @@ def _report_and_outputs(args, spec, wall, dim, num_batches,
     else:
         print(f"trace estimate (E[lambda]) = "
               f"{float(trace_estimate(spec)):.6e}")
-    hvps = n_matvecs if n_matvecs is not None else (
+    # each operator matvec costs num_batches HVPs for multi-batch dataset
+    # operators — count HVPs, not matvecs, so HVPs/s is comparable across
+    # paths
+    hvps = (n_matvecs * num_batches) if n_matvecs is not None else (
         args.lanczos_iters * num_batches
     )
     print(f"wall-clock: {wall:.2f}s ({hvps / wall:.2f} HVPs/s)")

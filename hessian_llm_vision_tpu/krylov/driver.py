@@ -217,7 +217,8 @@ def single_batch_spectrum_host_fused(
 
 
 @functools.lru_cache(maxsize=8)
-def _jitted_bigmodel_step(loss_fn, per_batch_norm, precision, q_dtype_name):
+def _jitted_bigmodel_step(loss_fn, per_batch_norm, precision, q_dtype_name,
+                          batch_size=None):
     """PYTREE-native fused Lanczos step with low-precision-stored vectors —
     the memory plan that actually fits >1B parameters on one 16 GB chip.
 
@@ -239,7 +240,8 @@ def _jitted_bigmodel_step(loss_fn, per_batch_norm, precision, q_dtype_name):
     from hessian_llm_vision_tpu.curvature.hvp import hvp_fn
 
     q_dtype = jnp.dtype(q_dtype_name)
-    _hvp = hvp_fn(loss_fn, normalization=per_batch_norm, precision=precision)
+    _hvp = hvp_fn(loss_fn, normalization=per_batch_norm, precision=precision,
+                  batch_size=batch_size)
 
     def tvdot(a, b):
         return sum(
@@ -291,6 +293,7 @@ def bigmodel_spectrum_host(
     *,
     key: jax.Array,
     normalization: str = "mean",
+    batch_size: Optional[int] = None,
     precision: Optional[str] = "high",
     q_dtype: Any = jnp.bfloat16,
     callback: Optional[Callable[[int, np.ndarray, np.ndarray], None]] = None,
@@ -306,7 +309,7 @@ def bigmodel_spectrum_host(
     """
     q_dtype = jnp.dtype(q_dtype)
     step = _jitted_bigmodel_step(
-        loss_fn, normalization, precision, q_dtype.name
+        loss_fn, normalization, precision, q_dtype.name, batch_size
     )
 
     leaves, treedef = jax.tree_util.tree_flatten(params)

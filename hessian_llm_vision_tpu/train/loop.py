@@ -167,6 +167,7 @@ def train(
     for epoch in range(num_epochs):
         if done:
             break
+        steps_this_epoch = 0
         for batch in batches:
             if max_steps and global_step >= max_steps:
                 done = True
@@ -190,7 +191,10 @@ def train(
                 emit(global_step, metrics)
                 last_logged = global_step
             global_step += 1
-        if on_epoch_end is not None:
+            steps_this_epoch += 1
+        # max_steps can trip on an epoch's FIRST iteration: no phantom
+        # epoch-end hook (duplicate checkpoint/eval) for zero executed steps
+        if on_epoch_end is not None and steps_this_epoch > 0:
             on_epoch_end(epoch, state)
     # the final step always reaches the log (sweeps/HPO read the last loss)
     if on_log is not None and last is not None and last[0] != last_logged:

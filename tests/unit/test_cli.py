@@ -138,12 +138,13 @@ def test_forget_cli(tmp_path):
 
 
 def test_forget_cli_thick_restart(tmp_path, capsys):
-    """--thick_restart M: the task-A basis from converged eigenpairs."""
+    """--thick_restart: the task-A basis from converged eigenpairs."""
     from hessian_llm_vision_tpu.cli import forget
 
     base, proj = forget.main([
         "--model", "spiral", "--epochs_a", "30", "--epochs_b", "5",
-        "--k", "3", "--thick_restart", "10", "--lr", "0.5", "--width", "12",
+        "--k", "3", "--thick_restart", "--tr_inner", "10",
+        "--lr", "0.5", "--width", "12",
         "--depth", "1", "--num_points", "60",
         "--out_curves", str(tmp_path / "c.npz"),
     ])
