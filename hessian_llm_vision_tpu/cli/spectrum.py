@@ -86,6 +86,13 @@ def build_parser() -> argparse.ArgumentParser:
                    "(scan-over-batches HVP reduce + recurrence) as ONE "
                    "donating program — 1 tunnel dispatch/iter instead of "
                    "~2+batches (bench.py headline mode; Hessian only)")
+    p.add_argument("--probe_parallel", action="store_true",
+                   help="with --host_loop and --probes N on a multi-device "
+                   "mesh: run all probes concurrently, probe axis sharded "
+                   "over devices (one fused program, zero collectives — "
+                   "the d.sh probe grid in mesh wall-time of one probe). "
+                   "Single chip: the program is N HVPs big; use sequential "
+                   "--probes instead at LLM scale")
     p.add_argument("--qprev_bf16", action="store_true",
                    help="store the lagged Lanczos vector in bf16 (frees "
                    "half a P-buffer; ~1e-3 extreme-Ritz perturbation)")
@@ -237,6 +244,15 @@ def main(argv=None):
             "--fused_iter needs --host_loop "
             "(and is exclusive with --fused_step/--bigmodel)"
         )
+    if args.probe_parallel and (
+        not args.host_loop or args.probes < 2 or args.fused_step
+        or args.bigmodel or bool(args.t_checkpoint)
+    ):
+        raise SystemExit(
+            "--probe_parallel needs --host_loop and --probes >= 2; it does "
+            "not support --fused_step/--bigmodel (single-probe memory "
+            "plans) or --t_checkpoint (no per-probe resume state)"
+        )
     if (args.bigmodel or args.fused_step) and not args.host_loop:
         # without --host_loop these silently fall through to the flat
         # in-core/checkpointed paths, whose P-vector copies OOM exactly
@@ -313,7 +329,24 @@ def main(argv=None):
         if args.operator in ("ggn", "fisher") and wl.model_fn is None:
             raise SystemExit(f"--operator {args.operator} unsupported for "
                              f"model {wl.name!r} (no model_fn)")
-        for pi in range(max(args.probes, 1)):
+        if args.probe_parallel:
+            from hessian_llm_vision_tpu.parallel import (
+                probe_parallel_spectrum_host,
+            )
+
+            probe_results = probe_parallel_spectrum_host(
+                wl.loss_fn, wl.params, wl.batches, args.lanczos_iters,
+                key=key, n_probes=args.probes,
+                normalization=args.normalization, batch_size=wl.batch_size,
+                precision=args.hvp_precision, operator=args.operator,
+                model_fn=wl.model_fn, out_loss_fn=wl.out_loss_fn,
+                progress=True,
+            )
+            for res in probe_results:
+                s = ritz_decomposition(res)
+                all_ev.append(np.asarray(s.eigvals))
+                all_ga.append(np.asarray(s.gammas))
+        for pi in range(0 if args.probe_parallel else max(args.probes, 1)):
             if args.bigmodel:
                 if len(wl.batches) != 1 or args.operator != "hessian":
                     raise SystemExit(

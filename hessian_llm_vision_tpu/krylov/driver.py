@@ -447,25 +447,31 @@ def layerwise_spectrum_host(
     return results
 
 
-@functools.lru_cache(maxsize=32)
-def _jitted_fused_dataset_step(loss_fn, per_batch_norm, precision, fl):
-    """Whole Lanczos iteration of the dataset operator in ONE program.
+def dataset_norm(normalization, num_batches, batch_size=None):
+    """Whole-dataset loss-scaling semantics, identical to
+    ``DatasetHessianOperator``: "dataset"/"mean" -> Hessian of the
+    dataset-mean loss; "sum" -> Hessian of the dataset-summed loss
+    (= N x mean).  Returns ``(per_batch_norm, scale)``."""
+    if normalization in ("dataset", "mean"):
+        return "mean", 1.0 / num_batches
+    if normalization == "sum":
+        if batch_size is None:
+            raise ValueError('normalization="sum" requires batch_size')
+        return "mean", float(batch_size)
+    raise ValueError(normalization)
 
-    ``dataset_spectrum_host``'s unfused loop dispatches 9 programs per
-    iteration (4 batch-HVPs + 3 adds + scale + recurrence on the headline
-    job); through this backend's high-latency tunnel each dispatch costs a
-    round trip, which is ~half the 124M 35-iter wallclock.  Here the
-    batches are STACKED along a leading axis and reduced with ``lax.scan``
-    — the HVP body is traced ONCE, so the program stays in the same size
-    class as one HVP (the remote-compiler ceiling; CLAUDE.md) — and the
-    three-term recurrence rides in the same program with q_cur/q_prev
-    donated.  Dispatches per iteration: 1.
-    """
+
+def fused_dataset_iteration_body(loss_fn, per_batch_norm, precision, fl):
+    """One whole Lanczos iteration of the dataset-mean Hessian operator as
+    a pure function ``(q_cur, q_prev, beta_prev, scale, params, batches) ->
+    (alpha, beta, q_next, q_cur)`` — the scan-over-batches HVP reduce plus
+    the three-term recurrence.  Shared by the single-probe fused step and
+    the probe-parallel mesh path (``parallel/probe_parallel.py``), which
+    ``vmap``s it over a sharded probe axis."""
     from hessian_llm_vision_tpu.curvature.hvp import hvp_fn
 
     _hvp = hvp_fn(loss_fn, normalization=per_batch_norm, precision=precision)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(q_cur, q_prev, beta_prev, scale, params, batches):
         tangent = fl.unflatten(q_cur)
 
@@ -483,14 +489,11 @@ def _jitted_fused_dataset_step(loss_fn, per_batch_norm, precision, fl):
     return step
 
 
-@functools.lru_cache(maxsize=32)
-def _jitted_fused_dataset_ggn_step(model_fn, out_loss_fn, precision, fl):
-    """GGN/Fisher variant of :func:`_jitted_fused_dataset_step`: the
-    dataset-averaged ``Jᵀ H_out J v`` reduce + three-term recurrence as one
-    donating scan-over-batches program (same per-batch product as
-    :func:`_jitted_batch_ggn`)."""
+def fused_dataset_ggn_iteration_body(model_fn, out_loss_fn, precision, fl):
+    """GGN/Fisher variant of :func:`fused_dataset_iteration_body`: the
+    dataset-averaged ``Jᵀ H_out J v`` reduce + three-term recurrence (same
+    per-batch product as ``_jitted_batch_ggn``)."""
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(q_cur, q_prev, beta_prev, scale, params, batches):
         vt = fl.unflatten(q_cur)
 
@@ -524,6 +527,35 @@ def _jitted_fused_dataset_ggn_step(model_fn, out_loss_fn, precision, fl):
         return alpha, beta, q_next, q_cur
 
     return step
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_fused_dataset_step(loss_fn, per_batch_norm, precision, fl):
+    """Whole Lanczos iteration of the dataset operator in ONE program.
+
+    ``dataset_spectrum_host``'s unfused loop dispatches 9 programs per
+    iteration (4 batch-HVPs + 3 adds + scale + recurrence on the headline
+    job); through this backend's high-latency tunnel each dispatch costs a
+    round trip, which is ~half the 124M 35-iter wallclock.  Here the
+    batches are STACKED along a leading axis and reduced with ``lax.scan``
+    — the HVP body is traced ONCE, so the program stays in the same size
+    class as one HVP (the remote-compiler ceiling; CLAUDE.md) — and the
+    three-term recurrence rides in the same program with q_cur/q_prev
+    donated.  Dispatches per iteration: 1.
+    """
+    return jax.jit(
+        fused_dataset_iteration_body(loss_fn, per_batch_norm, precision, fl),
+        donate_argnums=(0, 1),
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_fused_dataset_ggn_step(model_fn, out_loss_fn, precision, fl):
+    """Jitted/donating :func:`fused_dataset_ggn_iteration_body`."""
+    return jax.jit(
+        fused_dataset_ggn_iteration_body(model_fn, out_loss_fn, precision, fl),
+        donate_argnums=(0, 1),
+    )
 
 
 def dataset_spectrum_host(
@@ -566,17 +598,7 @@ def dataset_spectrum_host(
     if (v0 is None) == (key is None):
         raise ValueError("pass exactly one of v0 / key")
     num_batches = len(batch_list)
-    # Whole-dataset semantics, identical to DatasetHessianOperator:
-    # "dataset"/"mean" -> Hessian of the dataset-mean loss;
-    # "sum" -> Hessian of the dataset-summed loss (= N x mean).
-    if normalization in ("dataset", "mean"):
-        per_batch_norm, scale = "mean", 1.0 / num_batches
-    elif normalization == "sum":
-        if batch_size is None:
-            raise ValueError('normalization="sum" requires batch_size')
-        per_batch_norm, scale = "mean", float(batch_size)
-    else:
-        raise ValueError(normalization)
+    per_batch_norm, scale = dataset_norm(normalization, num_batches, batch_size)
     if operator in ("ggn", "fisher"):
         if model_fn is None or out_loss_fn is None:
             raise ValueError(f"operator={operator!r} needs model_fn+out_loss_fn")

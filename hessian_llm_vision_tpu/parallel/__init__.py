@@ -19,6 +19,9 @@ from hessian_llm_vision_tpu.parallel.param_sharding import (
     tp_spec_tree,
     DEFAULT_TP_RULES,
 )
+from hessian_llm_vision_tpu.parallel.probe_parallel import (
+    probe_parallel_spectrum_host,
+)
 
 __all__ = [
     "make_mesh",
@@ -35,4 +38,5 @@ __all__ = [
     "DEFAULT_TP_RULES",
     "seq_sharding",
     "seq_parallel_config",
+    "probe_parallel_spectrum_host",
 ]
