@@ -142,6 +142,7 @@ def lanczos_thick_restart(
     tol: float = 1e-6,
     which: str = "lm",
     store_dtype=jnp.float32,
+    basis_sharding=None,
     progress: bool = False,
 ) -> ThickRestartResult:
     """Converged k extremal eigenpairs with an (inner+1, P) basis buffer.
@@ -149,6 +150,14 @@ def lanczos_thick_restart(
     ``which``: "lm" largest |λ| (default), "la"/"sa" algebraic ends,
     "both" = split k across both algebraic ends.  Residual convergence
     test: |β_m S[m-1,i]| ≤ tol · max|θ| for every wanted pair.
+
+    ``basis_sharding``: optional ``NamedSharding`` for the (inner+1, P)
+    buffer, P-axis sharded over the mesh (the ``krylov.lanczos`` /
+    ``parallel.mesh.basis_sharding`` convention, SURVEY.md §7 hard part
+    #1) — the buffer is created directly sharded (never replicated), the
+    CGS2 contractions run as local partials + psum over ICI, and the
+    returned Ritz vectors stay P-sharded.  P is zero-padded to the shard
+    divisor; the pad provably stays zero through the recurrence.
     """
     if (v0 is None) == (key is None):
         raise ValueError("pass exactly one of v0 / key")
@@ -174,7 +183,35 @@ def lanczos_thick_restart(
     q = v0 if v0 is not None else jax.random.normal(key, (dim,), jnp.float32)
     q = q / jnp.maximum(jnp.linalg.norm(q), _EPS)
 
-    Q = jnp.zeros((m + 1, dim), store_dtype)
+    # --- optional P-axis mesh sharding of the basis buffer --------------
+    true_dim, pad = dim, 0
+    if basis_sharding is not None:
+        from hessian_llm_vision_tpu.krylov.lanczos import _sharding_divisor
+
+        div = _sharding_divisor(basis_sharding)
+        if div > 1 and dim % div:
+            pad = div - dim % div
+    if pad:
+        inner_matvec = matvec
+
+        def matvec(v):  # noqa: F811
+            return jnp.pad(inner_matvec(v[:true_dim]), (0, pad))
+
+        q = jnp.pad(q, (0, pad))
+        dim = dim + pad
+
+    def _new_buffer():
+        """(m+1, dim) zeros, created DIRECTLY sharded (a replicated-then-
+        reshard would transiently hold the full buffer on one device —
+        20 GB at 124M/f32/m=40, the exact wall this option removes)."""
+        if basis_sharding is None:
+            return jnp.zeros((m + 1, dim), store_dtype)
+        return jax.jit(
+            lambda: jnp.zeros((m + 1, dim), store_dtype),
+            out_shardings=basis_sharding,
+        )()
+
+    Q = _new_buffer()
     theta = np.zeros((0,), np.float64)  # retained Ritz values
     s = np.zeros((0,), np.float64)  # arrowhead couplings
     n_ret = 0  # retained rows at cycle start
@@ -201,6 +238,11 @@ def lanczos_thick_restart(
                 beta = 0.0
                 rng_key, sub = jax.random.split(rng_key)
                 w = jax.random.normal(sub, (dim,), jnp.float32)
+                if pad:
+                    # the fresh direction must live in the true subspace —
+                    # a nonzero pad component would poison every later
+                    # orthogonalization coefficient
+                    w = w.at[true_dim:].set(0.0)
                 w, nrm, _ = _orth_step(Q, w, j + 1)
             if j < m - 1:
                 B[j, j + 1] = B[j + 1, j] = beta
@@ -223,6 +265,8 @@ def lanczos_thick_restart(
             S_out = np.zeros((m + 1, len(order)), np.float64)
             S_out[:m] = S[:, order]  # zero-padded: full-Q rotate, no slice copy
             V = _rotate(Q, jnp.asarray(S_out, jnp.float32))
+            if pad:
+                V = V[:, :true_dim]
             return ThickRestartResult(
                 eigvals=evals[order],
                 vectors=V,
@@ -247,7 +291,7 @@ def lanczos_thick_restart(
         new_rows = [
             _rotate_one(Q, S_keep[:, i], store_dtype) for i in range(kk)
         ]
-        Q = jnp.zeros((m + 1, dim), store_dtype)
+        Q = _new_buffer()
         for i, row in enumerate(new_rows):
             Q = _set_row(Q, i, row)
         del new_rows
