@@ -41,7 +41,7 @@ from hessian_llm_vision_tpu.utils.flatten import Flattener
 
 @functools.lru_cache(maxsize=8)
 def _jitted_probe_step(loss_fn, per_batch_norm, precision, fl,
-                       operator, model_fn, out_loss_fn):
+                       operator, model_fn, out_loss_fn, per_probe_batches):
     if operator in ("ggn", "fisher"):
         body = fused_dataset_ggn_iteration_body(
             model_fn, out_loss_fn, precision, fl
@@ -50,10 +50,13 @@ def _jitted_probe_step(loss_fn, per_batch_norm, precision, fl,
         body = fused_dataset_iteration_body(
             loss_fn, per_batch_norm, precision, fl
         )
-    # probe axis leads q_cur/q_prev/beta_prev; scale/params/batches are
-    # shared.  Donation keeps per-device memory flat across iterations.
+    # probe axis leads q_cur/q_prev/beta_prev; scale/params are shared;
+    # batches are shared (vector-seed grid) or per-probe (full d.sh
+    # data_seed x vector_seed grid).  Donation keeps per-device memory
+    # flat across iterations.
     return jax.jit(
-        jax.vmap(body, in_axes=(0, 0, 0, None, None, None)),
+        jax.vmap(body, in_axes=(0, 0, 0, None, None,
+                                0 if per_probe_batches else None)),
         donate_argnums=(0, 1),
     )
 
@@ -74,6 +77,7 @@ def probe_parallel_spectrum_host(
     operator: str = "hessian",
     model_fn: Optional[Callable[[Any, Any], jax.Array]] = None,
     out_loss_fn: Optional[Callable[[jax.Array, Any], jax.Array]] = None,
+    per_probe_batch_lists: Optional[Sequence[Sequence[Any]]] = None,
     progress: bool = False,
 ) -> List[LanczosResult]:
     """n_probes T-only dataset-operator Lanczos runs in mesh wall-time of one.
@@ -84,8 +88,25 @@ def probe_parallel_spectrum_host(
     (pinned by tests/distributed/test_probe_parallel.py).  Returns one
     :class:`LanczosResult` per probe, ready for ``ritz_decomposition`` +
     SLQ averaging.
+
+    ``per_probe_batch_lists``: optional n_probes equal-shape batch lists —
+    probe i sees ITS OWN data (the reference's full d.sh data_seed x
+    vector_seed grid, /root/reference/d.sh:1-12, in one program); default
+    is the shared ``batch_list`` (vector-seed grid only).
     """
     fl = flattener or Flattener(params)
+    if per_probe_batch_lists is not None:
+        if len(per_probe_batch_lists) != n_probes:
+            raise ValueError(
+                f"per_probe_batch_lists has {len(per_probe_batch_lists)} "
+                f"entries for n_probes={n_probes}"
+            )
+        lens = {len(bl) for bl in per_probe_batch_lists}
+        if len(lens) != 1:
+            raise ValueError(
+                f"per-probe batch lists must be equal length, got {lens}"
+            )
+        batch_list = per_probe_batch_lists[0]
     num_batches = len(batch_list)
     per_batch_norm, scale = dataset_norm(normalization, num_batches, batch_size)
     if operator in ("ggn", "fisher"):
@@ -111,9 +132,24 @@ def probe_parallel_spectrum_host(
     probe_sh = NamedSharding(mesh, P("data"))
     repl = replicated_sharding(mesh)
     params = jax.device_put(params, repl)
-    stacked = jax.device_put(
-        jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batch_list), repl
-    )
+    if per_probe_batch_lists is not None:
+        # (n_probes, n_batches, ...) with the probe axis sharded: each
+        # device stores and scans only its probes' data
+        stacked = jax.device_put(
+            jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs),
+                *[
+                    jax.tree_util.tree_map(lambda *b: jnp.stack(b), *bl)
+                    for bl in per_probe_batch_lists
+                ],
+            ),
+            probe_sh,
+        )
+    else:
+        stacked = jax.device_put(
+            jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batch_list),
+            repl,
+        )
     scale_dev = jax.device_put(jnp.float32(scale), repl)
 
     @jax.jit
@@ -135,6 +171,7 @@ def probe_parallel_spectrum_host(
     step = _jitted_probe_step(
         loss_fn, per_batch_norm, precision, fl,
         operator, model_fn, out_loss_fn,
+        per_probe_batch_lists is not None,
     )
     alphas: List[Any] = []
     betas: List[Any] = []

@@ -129,6 +129,46 @@ def test_probe_parallel_state_is_sharded():
     assert all(s.data.shape == (1, fl.size) for s in shards)
 
 
+def test_probe_parallel_per_probe_data():
+    """The full d.sh grid: every probe gets its OWN batch list (data_seed
+    axis) as well as its own start vector (vector_seed axis) — each must
+    match a sequential run on that probe's data."""
+    key = jax.random.PRNGKey(4)
+    _, _, params, loss_fn, batches = _spiral_setup(key)
+    mesh = make_mesh(4)
+
+    def reseeded(seed):
+        x, y = make_spirals(96, noise=0.15, seed=seed)
+        x, y = jnp.asarray(x), jnp.asarray(y)
+        return [
+            (x[i * 32:(i + 1) * 32], y[i * 32:(i + 1) * 32]) for i in range(3)
+        ]
+
+    per_probe = [reseeded(997 + i) for i in range(4)]
+    par = probe_parallel_spectrum_host(
+        loss_fn, params, batches, 6,
+        key=key, n_probes=4, mesh=mesh,
+        per_probe_batch_lists=per_probe, precision="highest",
+    )
+    for pi in range(4):
+        seq = dataset_spectrum_host(
+            loss_fn, params, per_probe[pi], 6,
+            key=jax.random.fold_in(key, pi), fused=True, precision="highest",
+        )
+        np.testing.assert_allclose(
+            np.asarray(par[pi].alphas), np.asarray(seq.alphas),
+            rtol=2e-5, atol=1e-6,
+        )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="entries for n_probes"):
+        probe_parallel_spectrum_host(
+            loss_fn, params, batches, 2, key=key, n_probes=4, mesh=mesh,
+            per_probe_batch_lists=per_probe[:2],
+        )
+
+
 def test_probe_parallel_cli(capsys):
     """spectrum --host_loop --probes 8 --probe_parallel end-to-end: the
     SLQ-averaged spectrum must match the sequential --probes run exactly
