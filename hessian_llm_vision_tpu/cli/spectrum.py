@@ -342,10 +342,12 @@ def main(argv=None):
                 model_fn=wl.model_fn, out_loss_fn=wl.out_loss_fn,
                 progress=True,
             )
-            for res in probe_results:
+            for pi, res in enumerate(probe_results):
                 s = ritz_decomposition(res)
                 all_ev.append(np.asarray(s.eigvals))
                 all_ga.append(np.asarray(s.gammas))
+                print(f"probe {pi + 1}/{args.probes}: "
+                      f"lambda_max {all_ev[-1].max():.4f}")
         for pi in range(0 if args.probe_parallel else max(args.probes, 1)):
             if args.bigmodel:
                 if len(wl.batches) != 1 or args.operator != "hessian":
