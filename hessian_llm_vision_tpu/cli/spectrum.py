@@ -46,6 +46,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also estimate tr(H) with Hutch++ using M matvecs "
                    "(krylov/trace.py; O(1/M) error vs SLQ's per-probe "
                    "variance). In-core operator paths only")
+    p.add_argument("--kpm", type=int, default=0, metavar="M",
+                   help="also estimate the spectral DENSITY by the kernel "
+                   "polynomial method with M Jackson-damped Chebyshev "
+                   "moments (krylov/kpm.py; smooth whole-support density "
+                   "at 2 P-vectors of memory; range auto-estimated by a "
+                   "12-iter Lanczos probe). Moments land in the npz as "
+                   "meta_kpm_*. In-core operator paths only")
+    p.add_argument("--kpm_probes", type=int, default=4,
+                   help="Rademacher probes averaged per --kpm estimate")
     p.add_argument("--layer", default=None,
                    help="restrict to parameter subtree whose path contains this")
     p.add_argument("--layerwise", action="store_true",
@@ -228,6 +237,14 @@ def main(argv=None):
 
     # loud-flags policy: error on silently-dropped combinations instead of
     # running a job that never produces the asked-for output
+    if args.kpm and (args.host_loop or args.layerwise or args.thick_restart):
+        raise SystemExit(
+            "--kpm applies to the in-core operator paths only "
+            "(drop --host_loop/--layerwise/--thick_restart, or call "
+            "krylov.kpm_density directly on a program-backed matvec)"
+        )
+    if not args.kpm and args.kpm_probes != 4:
+        raise SystemExit("--kpm_probes has no effect without --kpm M")
     if args.hutchpp and (args.host_loop or args.layerwise):
         raise SystemExit(
             "--hutchpp applies to the in-core operator paths only "
@@ -596,6 +613,31 @@ def main(argv=None):
         # machine-readable too: lands in the npz as meta_hutchpp_trace
         args._extra_meta = {"hutchpp_trace": float(tr),
                             "hutchpp_matvecs": args.hutchpp}
+    if args.kpm:
+        from hessian_llm_vision_tpu.krylov import kpm_density
+        from hessian_llm_vision_tpu.utils.programs import ensure_program
+
+        t1 = time.time()
+        kres = kpm_density(
+            ensure_program(op.matvec), op.dim, args.kpm,
+            jax.random.PRNGKey(args.vector_seed + 2),
+            num_probes=args.kpm_probes,
+        )
+        print(
+            f"KPM density ({args.kpm} moments x {args.kpm_probes} probes): "
+            f"range [{kres.center - kres.radius:.4f}, "
+            f"{kres.center + kres.radius:.4f}], "
+            f"E[lambda] = {kres.trace_estimate(op.dim):.6e} "
+            f"({time.time() - t1:.2f}s)"
+        )
+        args._extra_meta = {
+            **getattr(args, "_extra_meta", {}),
+            "kpm_moments": kres.moments,
+            "kpm_raw_moments": kres.raw_moments,
+            "kpm_center": kres.center,
+            "kpm_radius": kres.radius,
+            "kpm_probes": kres.num_probes,
+        }
     _report_and_outputs(args, spec, wall, op.dim, hvp_batches)
     return spec
 

@@ -30,6 +30,11 @@ from hessian_llm_vision_tpu.krylov.thick_restart import (
 from hessian_llm_vision_tpu.krylov.power import power_iteration
 from hessian_llm_vision_tpu.krylov.cg import cg_solve
 from hessian_llm_vision_tpu.krylov.trace import hutchinson_trace, hutchpp_trace
+from hessian_llm_vision_tpu.krylov.kpm import (
+    KPMDensity,
+    estimate_spectral_range,
+    kpm_density,
+)
 
 __all__ = [
     "lanczos",
@@ -50,6 +55,9 @@ __all__ = [
     "cg_solve",
     "hutchinson_trace",
     "hutchpp_trace",
+    "KPMDensity",
+    "estimate_spectral_range",
+    "kpm_density",
     "ritz_relative_error",
     "density_overlap",
     "wasserstein_distance",

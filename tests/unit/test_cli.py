@@ -516,6 +516,28 @@ def test_spectrum_cli_hutchpp(capsys):
     assert np.isfinite(float(m.group(1)))
 
 
+def test_spectrum_cli_kpm(tmp_path, capsys):
+    """--kpm M prints a KPM density summary and persists the moments in
+    the npz (meta_kpm_*); the KPM trace agrees with the SLQ one."""
+    import re
+
+    from hessian_llm_vision_tpu.cli import spectrum
+
+    out_npz = str(tmp_path / "spec")
+    spectrum.main([
+        "--model", "spiral", "--lanczos_iters", "8", "--batch_size", "30",
+        "--num_points", "120", "--kpm", "32", "--kpm_probes", "2",
+        "--out_spectrum", out_npz,
+    ])
+    out = capsys.readouterr().out
+    m = re.search(r"E\[lambda\] = ([-\d.e+]+)", out)
+    assert m and np.isfinite(float(m.group(1)))
+    with np.load(out_npz + ".npz") as z:
+        assert z["meta_kpm_moments"].shape == (32,)
+        assert float(z["meta_kpm_raw_moments"][0]) == pytest.approx(1.0, rel=1e-3)
+        assert float(z["meta_kpm_radius"]) > 0
+
+
 def test_loud_flag_combinations():
     """Silently-dropped flag combos are errors (code-review r3)."""
     from hessian_llm_vision_tpu.cli import spectrum
@@ -524,6 +546,10 @@ def test_loud_flag_combinations():
             "16", "--num_points", "60", "--cpu"]
     with pytest.raises(SystemExit):
         spectrum.main(base + ["--hutchpp", "9", "--host_loop"])
+    with pytest.raises(SystemExit):
+        spectrum.main(base + ["--kpm", "16", "--host_loop"])
+    with pytest.raises(SystemExit):
+        spectrum.main(base + ["--kpm_probes", "8"])
     with pytest.raises(SystemExit):
         spectrum.main(base + ["--qprev_bf16"])
     # --layerwise ignores probe/basis/checkpoint/compare/operator machinery
