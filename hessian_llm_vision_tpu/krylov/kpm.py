@@ -64,11 +64,15 @@ def estimate_spectral_range(
 ) -> tuple[float, float]:
     """(λ_min, λ_max) bound via a short T-only Lanczos pass, widened by
     ``safety`` — KPM requires the spectrum strictly inside the rescaled
-    [-1, 1] (moments diverge outside)."""
-    from hessian_llm_vision_tpu.krylov.lanczos import lanczos
+    [-1, 1] (moments diverge outside).
 
-    res = lanczos(matvec, dim, min(num_iters, dim), key=key,
-                  reorth=False, store_basis=False)
+    HOST-driven (``lanczos_checkpointed``): the in-core ``lanczos`` would
+    chain ``num_iters`` matvecs into one program, which this backend's
+    remote compiler rejects at LLM scale (CLAUDE.md compile-budget rule) —
+    here each iteration dispatches the caller's cached matvec program."""
+    from hessian_llm_vision_tpu.krylov.lanczos import lanczos_checkpointed
+
+    res = lanczos_checkpointed(matvec, dim, min(num_iters, dim), key=key)
     a = np.asarray(res.alphas, np.float64)
     b = np.asarray(res.betas, np.float64)
     T = np.diag(a) + np.diag(b, 1) + np.diag(b, -1)
@@ -103,9 +107,15 @@ def kpm_density(
 
     ``matvec`` must be program-backed (utils/programs.py discipline): the
     host loop dispatches one matvec per moment per probe against the same
-    cached program.  ``lmin``/``lmax``: spectrum bounds; estimated with a
-    short Lanczos pass when omitted (costs ``12`` extra matvecs).
-    Rademacher probes (variance-optimal for Hutchinson-type traces).
+    cached program.  At LLM scale mark closure wrappers with
+    ``matvec.is_program_backed = True`` so the range estimation's
+    ``ensure_program`` never re-jits them — tracing through a closure
+    lowers the captured params as inline HLO constants, which this
+    backend's remote compiler rejects (measured HTTP 413 at 124M; see
+    examples/kpm_density_124m.py).  ``lmin``/``lmax``: spectrum bounds;
+    estimated with a short Lanczos pass when omitted (costs ``12`` extra
+    matvecs).  Rademacher probes (variance-optimal for Hutchinson-type
+    traces).
     """
     if num_moments < 2:
         raise ValueError("need num_moments >= 2")
