@@ -237,11 +237,16 @@ def main(argv=None):
 
     # loud-flags policy: error on silently-dropped combinations instead of
     # running a job that never produces the asked-for output
-    if args.kpm and (args.host_loop or args.layerwise or args.thick_restart):
+    if args.kpm and (
+        args.layerwise or args.thick_restart
+        or (args.host_loop and args.operator != "hessian")
+        or args.bigmodel
+    ):
         raise SystemExit(
-            "--kpm applies to the in-core operator paths only "
-            "(drop --host_loop/--layerwise/--thick_restart, or call "
-            "krylov.kpm_density directly on a program-backed matvec)"
+            "--kpm works on the in-core operator paths and on "
+            "--host_loop with --operator hessian (drop --layerwise/"
+            "--thick_restart/--bigmodel, or call krylov.kpm_density "
+            "directly on a program-backed matvec)"
         )
     if not args.kpm and args.kpm_probes != 4:
         raise SystemExit("--kpm_probes has no effect without --kpm M")
@@ -453,6 +458,27 @@ def main(argv=None):
         wall = time.time() - t0
         from hessian_llm_vision_tpu.utils.flatten import tree_size
 
+        if args.kpm:
+            # the LLM-scale KPM path: DatasetHessianOperator's matvec is
+            # ONE program (scan-over-batches body traced once — inside the
+            # remote-compile ceiling) with explicit params/batches args,
+            # so it runs at any model size the host loop itself handles
+            # (artifacts/kpm124m_r3 is this path at 124M)
+            from hessian_llm_vision_tpu.curvature import (
+                DatasetHessianOperator,
+            )
+
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *wl.batches
+            )
+            op_kpm = DatasetHessianOperator(
+                wl.loss_fn, wl.params, stacked,
+                normalization=args.normalization,
+                batch_size=wl.batch_size,
+                precision=args.hvp_precision,
+            )
+            _run_kpm(args, op_kpm.matvec, op_kpm.dim)
+
         _report_and_outputs(args, spec, wall, tree_size(wl.params),
                             len(wl.batches) * max(args.probes, 1))
         return spec
@@ -614,32 +640,37 @@ def main(argv=None):
         args._extra_meta = {"hutchpp_trace": float(tr),
                             "hutchpp_matvecs": args.hutchpp}
     if args.kpm:
-        from hessian_llm_vision_tpu.krylov import kpm_density
-        from hessian_llm_vision_tpu.utils.programs import ensure_program
-
-        t1 = time.time()
-        kres = kpm_density(
-            ensure_program(op.matvec), op.dim, args.kpm,
-            jax.random.PRNGKey(args.vector_seed + 2),
-            num_probes=args.kpm_probes,
-        )
-        print(
-            f"KPM density ({args.kpm} moments x {args.kpm_probes} probes): "
-            f"range [{kres.center - kres.radius:.4f}, "
-            f"{kres.center + kres.radius:.4f}], "
-            f"E[lambda] = {kres.trace_estimate(op.dim):.6e} "
-            f"({time.time() - t1:.2f}s)"
-        )
-        args._extra_meta = {
-            **getattr(args, "_extra_meta", {}),
-            "kpm_moments": kres.moments,
-            "kpm_raw_moments": kres.raw_moments,
-            "kpm_center": kres.center,
-            "kpm_radius": kres.radius,
-            "kpm_probes": kres.num_probes,
-        }
+        _run_kpm(args, op.matvec, op.dim)
     _report_and_outputs(args, spec, wall, op.dim, hvp_batches)
     return spec
+
+
+def _run_kpm(args, matvec, dim):
+    """Shared --kpm runner: moments land in args._extra_meta -> the npz."""
+    from hessian_llm_vision_tpu.krylov import kpm_density
+    from hessian_llm_vision_tpu.utils.programs import ensure_program
+
+    t1 = time.time()
+    kres = kpm_density(
+        ensure_program(matvec), dim, args.kpm,
+        jax.random.PRNGKey(args.vector_seed + 2),
+        num_probes=args.kpm_probes,
+    )
+    print(
+        f"KPM density ({args.kpm} moments x {args.kpm_probes} probes): "
+        f"range [{kres.center - kres.radius:.4f}, "
+        f"{kres.center + kres.radius:.4f}], "
+        f"E[lambda] = {kres.trace_estimate(dim):.6e} "
+        f"({time.time() - t1:.2f}s)"
+    )
+    args._extra_meta = {
+        **getattr(args, "_extra_meta", {}),
+        "kpm_moments": kres.moments,
+        "kpm_raw_moments": kres.raw_moments,
+        "kpm_center": kres.center,
+        "kpm_radius": kres.radius,
+        "kpm_probes": kres.num_probes,
+    }
 
 
 def _report_and_outputs(args, spec, wall, dim, num_batches,

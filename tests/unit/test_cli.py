@@ -538,6 +538,29 @@ def test_spectrum_cli_kpm(tmp_path, capsys):
         assert float(z["meta_kpm_radius"]) > 0
 
 
+def test_spectrum_cli_kpm_host_loop(tmp_path, capsys):
+    """--kpm under --host_loop (the LLM-scale path artifacts/kpm124m_r3
+    uses): the dataset Hessian's program-backed matvec feeds KPM; the
+    moments land in the npz exactly as on the in-core path."""
+    import re
+
+    from hessian_llm_vision_tpu.cli import spectrum
+
+    out_npz = str(tmp_path / "spec_hl")
+    spectrum.main([
+        "--model", "spiral", "--lanczos_iters", "6", "--batch_size", "30",
+        "--num_points", "120", "--kpm", "24", "--kpm_probes", "2",
+        "--host_loop", "--out_spectrum", out_npz,
+    ])
+    out = capsys.readouterr().out
+    m = re.search(r"E\[lambda\] = ([-\d.e+]+)", out)
+    assert m and np.isfinite(float(m.group(1)))
+    with np.load(out_npz + ".npz") as z:
+        assert z["meta_kpm_moments"].shape == (24,)
+        assert float(z["meta_kpm_raw_moments"][0]) == pytest.approx(1.0, rel=1e-3)
+        assert float(z["meta_kpm_radius"]) > 0
+
+
 def test_loud_flag_combinations():
     """Silently-dropped flag combos are errors (code-review r3)."""
     from hessian_llm_vision_tpu.cli import spectrum
@@ -546,8 +569,14 @@ def test_loud_flag_combinations():
             "16", "--num_points", "60", "--cpu"]
     with pytest.raises(SystemExit):
         spectrum.main(base + ["--hutchpp", "9", "--host_loop"])
+    # --kpm + --host_loop is now supported for the hessian operator only
     with pytest.raises(SystemExit):
-        spectrum.main(base + ["--kpm", "16", "--host_loop"])
+        spectrum.main(base + ["--kpm", "16", "--host_loop",
+                              "--operator", "ggn"])
+    with pytest.raises(SystemExit):
+        spectrum.main(base + ["--kpm", "16", "--host_loop", "--bigmodel"])
+    with pytest.raises(SystemExit):
+        spectrum.main(base + ["--kpm", "16", "--thick_restart", "3"])
     with pytest.raises(SystemExit):
         spectrum.main(base + ["--kpm_probes", "8"])
     with pytest.raises(SystemExit):
