@@ -32,7 +32,7 @@ def main():
 
     maybe_force_cpu(_A())
 
-    from hessian_llm_vision_tpu.curvature.hvp import hvp_fn
+    from hessian_llm_vision_tpu.curvature import DatasetHessianOperator
     from hessian_llm_vision_tpu.data import random_token_batches
     from hessian_llm_vision_tpu.krylov import kpm_density
     from hessian_llm_vision_tpu.models import GPT2Config, GPT2LMHead, losses
@@ -55,29 +55,16 @@ def main():
     )
     stacked = jnp.asarray(data["input_ids"])  # (4, 8, 512)
 
-    _hvp = hvp_fn(loss_fn, normalization="mean", precision="high")
-
-    @jax.jit
-    def dataset_matvec(v, params, stacked_ids):
-        """Dataset-mean HVP: scan-over-batches (body traced once — inside
-        the remote-compile ceiling, bench.py:163-172), explicit jit args."""
-        tangent = fl.unflatten(v)
-
-        def body(acc, ids):
-            return acc + fl.flatten(_hvp(params, {"input_ids": ids}, tangent)), None
-
-        w, _ = jax.lax.scan(body, jnp.zeros_like(v), stacked_ids)
-        return w / stacked_ids.shape[0]
-
-    def matvec(v):
-        return dataset_matvec(v, params, stacked)
-
-    # the closure dispatches the CACHED program above with params/batches
-    # as explicit jit args; mark it so ensure_program (inside the KPM range
-    # estimation) never re-jits it — tracing through the closure lowers the
-    # 124M params as inline HLO constants, which this backend's remote
-    # compiler rejects outright (measured: HTTP 413 request-size limit)
-    matvec.is_program_backed = True
+    # dataset-mean Hessian as ONE scan-over-batches program with explicit
+    # params/batches jit args (curvature/operators.py marks the matvec
+    # program-backed, so the KPM range estimation's ensure_program never
+    # re-jits it — tracing through a closure lowers the 124M params as
+    # inline HLO constants, which the remote compiler rejects: HTTP 413)
+    op = DatasetHessianOperator(
+        loss_fn, params, {"input_ids": stacked},
+        normalization="mean", precision="high", flattener=fl,
+    )
+    matvec = op.matvec
 
     # warm/compile (one matvec)
     t0 = time.perf_counter()
@@ -95,7 +82,7 @@ def main():
         f"KPM {moments} moments x {probes} probes: {wall:.1f}s "
         f"({n_mv * num_batches / wall:.2f} HVPs/s) "
         f"range [{res.center - res.radius:.4f}, {res.center + res.radius:.4f}] "
-        f"E[lambda] {res.trace_estimate(fl.size):.3e}"
+        f"E[lambda] {res.trace_estimate():.3e}"
     )
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",

@@ -94,7 +94,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="with --host_loop: run each whole iteration "
                    "(scan-over-batches HVP reduce + recurrence) as ONE "
                    "donating program — 1 tunnel dispatch/iter instead of "
-                   "~2+batches (bench.py headline mode; Hessian only)")
+                   "~2+batches (bench.py headline mode; hessian/ggn/fisher)")
     p.add_argument("--probe_parallel", action="store_true",
                    help="with --host_loop and --probes N on a multi-device "
                    "mesh: run all probes concurrently, probe axis sharded "
@@ -274,6 +274,15 @@ def main(argv=None):
             "--probe_parallel needs --host_loop and --probes >= 2; it does "
             "not support --fused_step/--bigmodel (single-probe memory "
             "plans) or --t_checkpoint (no per-probe resume state)"
+        )
+    if args.host_loop and (args.basis or args.host_basis):
+        # the host-loop branch is the T-only memory plan: no stored Krylov
+        # basis, Spectrum(ritz_vectors=None) — silently dropping the flag
+        # would hand --compare_to nothing to overlap against
+        raise SystemExit(
+            "--host_loop is T-only (no Ritz vectors / stored basis); drop "
+            "--basis/--host_basis, or use the in-core path (--basis / "
+            "--host_basis) or --thick_restart K for converged eigenpairs"
         )
     if (args.bigmodel or args.fused_step) and not args.host_loop:
         # without --host_loop these silently fall through to the flat
@@ -637,7 +646,10 @@ def main(argv=None):
         print(f"trace (hutch++ {args.hutchpp} matvecs) = {float(tr):.6e} "
               f"({time.time() - t1:.2f}s)")
         # machine-readable too: lands in the npz as meta_hutchpp_trace
-        args._extra_meta = {"hutchpp_trace": float(tr),
+        # (merge, same as _run_kpm / thick-restart — don't clobber other
+        # producers' metadata)
+        args._extra_meta = {**getattr(args, "_extra_meta", {}),
+                            "hutchpp_trace": float(tr),
                             "hutchpp_matvecs": args.hutchpp}
     if args.kpm:
         _run_kpm(args, op.matvec, op.dim)
@@ -660,7 +672,7 @@ def _run_kpm(args, matvec, dim):
         f"KPM density ({args.kpm} moments x {args.kpm_probes} probes): "
         f"range [{kres.center - kres.radius:.4f}, "
         f"{kres.center + kres.radius:.4f}], "
-        f"E[lambda] = {kres.trace_estimate(dim):.6e} "
+        f"E[lambda] = {kres.trace_estimate():.6e} "
         f"({time.time() - t1:.2f}s)"
     )
     args._extra_meta = {

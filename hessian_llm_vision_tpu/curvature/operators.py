@@ -49,15 +49,20 @@ class LinearOperator:
 
     def shifted(self, sigma: float) -> "LinearOperator":
         """A + sigma*I (the reference's ``cola.PSD(G + 1e-3 I)`` damping,
-        /root/reference/colaexp.py:106)."""
+        /root/reference/colaexp.py:106).  The axpy runs as ONE cached
+        program (`_shift_prog`), not two eager ops — a host-driven solver
+        (CG, thick restart) calling this per iteration would otherwise pay
+        a synchronous tunnel round trip per eager op."""
         base = self.matvec
         return LinearOperator(
-            self._wrap(lambda v: base(v) + sigma * v), self.dim
+            self._wrap(lambda v: _shift_prog(base(v), sigma, v)), self.dim
         )
 
     def scaled(self, alpha: float) -> "LinearOperator":
         base = self.matvec
-        return LinearOperator(self._wrap(lambda v: alpha * base(v)), self.dim)
+        return LinearOperator(
+            self._wrap(lambda v: _scale_prog(alpha, base(v))), self.dim
+        )
 
     def _wrap(self, fn):
         # propagate the tunnel-safety marker: a wrapper around a
@@ -66,6 +71,18 @@ class LinearOperator:
         if getattr(self.matvec, "is_program_backed", False):
             mark_program_backed(fn)
         return fn
+
+
+@jax.jit
+def _shift_prog(av, sigma, v):
+    # sigma arrives as a weak-typed scalar arg: one compile covers every
+    # damping value (no per-sigma recompiles through the remote tunnel)
+    return av + sigma * v
+
+
+@jax.jit
+def _scale_prog(alpha, av):
+    return alpha * av
 
 
 @jax.jit

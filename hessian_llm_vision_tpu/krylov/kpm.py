@@ -48,11 +48,14 @@ class KPMDensity(NamedTuple):
         # change of variables back to A's units (d lambda = radius d x)
         return rho / self.radius
 
-    def trace_estimate(self, dim: int) -> float:
-        """tr(A)/dim estimate from the first two moments:
-        E[λ] = center·μ₀ + radius·μ₁ (μ₀≈1 for unit probes)."""
-        return float(self.center * self.raw_moments[0]
-                     + self.radius * self.raw_moments[1])
+    def trace_estimate(self, dim: Optional[int] = None) -> float:
+        """``E[λ] = tr(A)/P`` from the first two moments:
+        center·μ₀ + radius·μ₁ (μ₀≈1 for unit probes).  With ``dim`` given,
+        scales to a tr(A) estimate — same contract as
+        ``krylov.slq.trace_estimate``."""
+        est = float(self.center * self.raw_moments[0]
+                    + self.radius * self.raw_moments[1])
+        return est * dim if dim is not None else est
 
 
 def estimate_spectral_range(

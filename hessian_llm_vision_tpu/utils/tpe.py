@@ -50,16 +50,21 @@ class _Parzen:
     def __init__(self, obs: Sequence[float], lo: float, hi: float):
         self.lo, self.hi = lo, hi
         width = hi - lo
-        self.mus = list(obs) + [(lo + hi) / 2.0]
         n = len(obs)
+        # kernel order is irrelevant in a mixture: sort once and walk by
+        # POSITION (srt.index(mu) resolved duplicates — routine for int
+        # params like k — to the first occurrence, inflating their kernels
+        # to range width).  Edge kernels see virtual neighbours at lo/hi,
+        # optuna's convention, instead of the full range.
+        srt = sorted(float(x) for x in obs)
+        self.mus = srt + [(lo + hi) / 2.0]
         # bandwidth: neighbour spacing, floored so kernels never collapse
+        # (duplicates have zero spacing and land on the floor)
         floor = width / max(min(100.0, n + 1.0), 1.0)
         sigmas = []
-        srt = sorted(obs)
-        for mu in obs:
-            i = srt.index(mu)
-            left = srt[i] - srt[i - 1] if i > 0 else width
-            right = srt[i + 1] - srt[i] if i < n - 1 else width
+        for i in range(n):
+            left = srt[i] - (srt[i - 1] if i > 0 else lo)
+            right = (srt[i + 1] if i < n - 1 else hi) - srt[i]
             sigmas.append(min(max(max(left, right), floor), width))
         self.sigmas = sigmas + [width]  # prior kernel spans the range
         self.w = 1.0 / len(self.mus)

@@ -579,6 +579,12 @@ def test_loud_flag_combinations():
         spectrum.main(base + ["--kpm", "16", "--thick_restart", "3"])
     with pytest.raises(SystemExit):
         spectrum.main(base + ["--kpm_probes", "8"])
+    # --host_loop is T-only: a silently-dropped --basis/--host_basis would
+    # write ritz_vectors=None npz with no error (code-review r3)
+    with pytest.raises(SystemExit):
+        spectrum.main(base + ["--host_loop", "--basis"])
+    with pytest.raises(SystemExit):
+        spectrum.main(base + ["--host_loop", "--host_basis"])
     with pytest.raises(SystemExit):
         spectrum.main(base + ["--qprev_bf16"])
     # --layerwise ignores probe/basis/checkpoint/compare/operator machinery

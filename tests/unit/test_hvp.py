@@ -77,6 +77,35 @@ def test_operator_symmetry_and_normalization(key):
     )
 
 
+def test_shifted_and_scaled_wrappers(key):
+    """A+sigma*I / alpha*A wrappers: correct numerics, single cached
+    program per call (not eager per-op dispatches — tunnel round trips),
+    and the program-backed marker propagates (code-review r3)."""
+    params = _mlp_params(key)
+    batch = _batch(jax.random.fold_in(key, 1), n=8)
+    op = HessianOperator(_loss, params, batch)
+    v = jax.random.normal(jax.random.fold_in(key, 5), (op.dim,))
+    hv = np.asarray(op(v))
+    np.testing.assert_allclose(
+        np.asarray(op.shifted(0.7)(v)), hv + 0.7 * np.asarray(v),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(op.scaled(-2.0)(v)), -2.0 * hv, rtol=1e-5, atol=1e-6
+    )
+    # ensure_program must pass the wrappers through un-re-jitted
+    assert getattr(op.shifted(0.7).matvec, "is_program_backed", False)
+    assert getattr(op.scaled(2.0).matvec, "is_program_backed", False)
+    # different shift values reuse ONE compiled axpy program (weak-typed
+    # scalar arg): no per-sigma recompiles through the remote tunnel
+    from hessian_llm_vision_tpu.curvature.operators import _shift_prog
+
+    n0 = _shift_prog._cache_size()
+    op.shifted(0.1)(v)
+    op.shifted(0.2)(v)
+    assert _shift_prog._cache_size() <= max(n0, 1)
+
+
 def test_dataset_operator_equals_stacked_mean(key):
     params = _mlp_params(key)
     # 4 batches of 4 == one batch of 16 under dataset-mean normalization

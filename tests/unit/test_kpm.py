@@ -44,8 +44,10 @@ def test_kpm_moments_and_trace():
     # E[lambda] = tr(A)/dim from the first two moments (Hutchinson over
     # 8 Rademacher probes: loose stochastic tolerance)
     true_mean = float(np.mean(ev))
-    est = res.trace_estimate(dim)
+    est = res.trace_estimate()
     assert abs(est - true_mean) < 0.35 * float(np.abs(ev).max())
+    # dim-scaled form matches the slq.trace_estimate contract: tr(A)
+    np.testing.assert_allclose(res.trace_estimate(dim), est * dim, rtol=1e-12)
     # density integrates to ~1 on a fine grid spanning the support
     grid = np.linspace(ev[0] * 1.04, ev[-1] * 1.04, 2000)
     rho = res.density(grid)

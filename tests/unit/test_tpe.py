@@ -73,6 +73,27 @@ def test_tpe_handles_inf_and_short_history():
     assert 1e-4 <= point["lr"] <= 1e-1
 
 
+def test_parzen_duplicate_and_edge_bandwidths():
+    """Duplicate observations (routine for int params like k) must get the
+    FLOOR bandwidth, not the full range width (the old srt.index(mu)
+    resolved every duplicate to the first occurrence — code-review r3);
+    edge kernels see virtual neighbours at lo/hi, not the range width."""
+    from hessian_llm_vision_tpu.utils.tpe import _Parzen
+
+    p = _Parzen([12.0, 12.0, 20.0], 5.0, 50.0)
+    width = 45.0
+    floor = width / 4.0
+    # kernels are stored sorted: [12, 12, 20, prior]
+    assert p.mus[:3] == [12.0, 12.0, 20.0]
+    # the duplicate pair: spacing 0 on one side, 7/8 on the other -> their
+    # sigma is the max of (left, right) neighbour gaps, nowhere near width
+    assert p.sigmas[0] == max(12.0 - 5.0, floor)   # left edge -> lo
+    assert p.sigmas[1] == max(8.0, floor)          # 20-12, not width
+    assert p.sigmas[2] == max(50.0 - 20.0, floor)  # right edge -> hi
+    assert all(s < width for s in p.sigmas[:3])
+    assert p.sigmas[3] == width  # prior kernel spans the range
+
+
 def test_tpe_beats_random_on_smooth_bowl():
     """Mean best-of-40 over 5 seeds: TPE must beat random search on a
     smooth objective (the point of shipping the algorithm, not just the
