@@ -55,6 +55,14 @@ def build_parser() -> argparse.ArgumentParser:
                    "meta_kpm_*. In-core operator paths only")
     p.add_argument("--kpm_probes", type=int, default=4,
                    help="Rademacher probes averaged per --kpm estimate")
+    p.add_argument("--kpm_deflate", type=int, default=0, metavar="K",
+                   help="with --kpm M: thick-restart the K largest-|lambda| "
+                   "eigenpairs to convergence first (EXACT spikes with "
+                   "residual certificates), then run KPM on the deflated "
+                   "operator (I-UU^T)A(I-UU^T) — the Chebyshev support "
+                   "shrinks to the bulk, improving bulk resolution by "
+                   "~(full range / bulk range) at the same moment count "
+                   "(krylov/deflate.py)")
     p.add_argument("--layer", default=None,
                    help="restrict to parameter subtree whose path contains this")
     p.add_argument("--layerwise", action="store_true",
@@ -250,6 +258,8 @@ def main(argv=None):
         )
     if not args.kpm and args.kpm_probes != 4:
         raise SystemExit("--kpm_probes has no effect without --kpm M")
+    if args.kpm_deflate and not args.kpm:
+        raise SystemExit("--kpm_deflate has no effect without --kpm M")
     if args.hutchpp and (args.host_loop or args.layerwise):
         raise SystemExit(
             "--hutchpp applies to the in-core operator paths only "
@@ -658,23 +668,56 @@ def main(argv=None):
 
 
 def _run_kpm(args, matvec, dim):
-    """Shared --kpm runner: moments land in args._extra_meta -> the npz."""
-    from hessian_llm_vision_tpu.krylov import kpm_density
+    """Shared --kpm runner: moments land in args._extra_meta -> the npz.
+
+    With --kpm_deflate K: exact extremal spikes (thick restart) + KPM bulk
+    of the deflated operator (krylov/deflate.py) — the kpm_* meta keys then
+    describe the BULK density, plus kpm_deflate_* for the spikes."""
+    from hessian_llm_vision_tpu.krylov import deflated_density, kpm_density
     from hessian_llm_vision_tpu.utils.programs import ensure_program
 
     t1 = time.time()
-    kres = kpm_density(
-        ensure_program(matvec), dim, args.kpm,
-        jax.random.PRNGKey(args.vector_seed + 2),
-        num_probes=args.kpm_probes,
-    )
-    print(
-        f"KPM density ({args.kpm} moments x {args.kpm_probes} probes): "
-        f"range [{kres.center - kres.radius:.4f}, "
-        f"{kres.center + kres.radius:.4f}], "
-        f"E[lambda] = {kres.trace_estimate():.6e} "
-        f"({time.time() - t1:.2f}s)"
-    )
+    if args.kpm_deflate:
+        dres = deflated_density(
+            ensure_program(matvec), dim, args.kpm_deflate, args.kpm,
+            jax.random.PRNGKey(args.vector_seed + 2),
+            num_probes=args.kpm_probes, progress=True,
+        )
+        kres = dres.bulk
+        status = "converged" if dres.converged else "NOT converged"
+        print(
+            f"deflated {args.kpm_deflate} extremal pairs ({status}, max "
+            f"residual {dres.residuals.max():.2e}): "
+            f"{np.round(np.sort(dres.eigvals), 4).tolist()}"
+        )
+        print(
+            f"KPM bulk density ({args.kpm} moments x {args.kpm_probes} "
+            f"probes on the deflated operator): bulk range "
+            f"[{kres.center - kres.radius:.4f}, "
+            f"{kres.center + kres.radius:.4f}], "
+            f"combined E[lambda] = {dres.trace_estimate():.6e} "
+            f"({time.time() - t1:.2f}s, {dres.matvecs} matvecs)"
+        )
+        args._extra_meta = {
+            **getattr(args, "_extra_meta", {}),
+            "kpm_deflate_eigvals": np.asarray(dres.eigvals),
+            "kpm_deflate_residuals": np.asarray(dres.residuals),
+            "kpm_deflate_converged": int(dres.converged),
+            "kpm_deflate_matvecs": dres.matvecs,
+        }
+    else:
+        kres = kpm_density(
+            ensure_program(matvec), dim, args.kpm,
+            jax.random.PRNGKey(args.vector_seed + 2),
+            num_probes=args.kpm_probes,
+        )
+        print(
+            f"KPM density ({args.kpm} moments x {args.kpm_probes} probes): "
+            f"range [{kres.center - kres.radius:.4f}, "
+            f"{kres.center + kres.radius:.4f}], "
+            f"E[lambda] = {kres.trace_estimate():.6e} "
+            f"({time.time() - t1:.2f}s)"
+        )
     args._extra_meta = {
         **getattr(args, "_extra_meta", {}),
         "kpm_moments": kres.moments,

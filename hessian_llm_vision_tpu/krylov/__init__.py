@@ -35,6 +35,11 @@ from hessian_llm_vision_tpu.krylov.kpm import (
     estimate_spectral_range,
     kpm_density,
 )
+from hessian_llm_vision_tpu.krylov.deflate import (
+    DeflatedDensity,
+    deflated_density,
+    deflated_matvec,
+)
 
 __all__ = [
     "lanczos",
@@ -58,6 +63,9 @@ __all__ = [
     "KPMDensity",
     "estimate_spectral_range",
     "kpm_density",
+    "DeflatedDensity",
+    "deflated_density",
+    "deflated_matvec",
     "ritz_relative_error",
     "density_overlap",
     "wasserstein_distance",

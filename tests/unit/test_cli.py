@@ -561,6 +561,36 @@ def test_spectrum_cli_kpm_host_loop(tmp_path, capsys):
         assert float(z["meta_kpm_radius"]) > 0
 
 
+def test_spectrum_cli_kpm_deflate(tmp_path, capsys):
+    """--kpm M --kpm_deflate K: exact extremal spikes (thick restart) +
+    KPM bulk on the deflated operator; bulk range is tighter than the
+    full-support --kpm range; spikes land in the npz."""
+    import re
+
+    from hessian_llm_vision_tpu.cli import spectrum
+
+    out_npz = str(tmp_path / "spec_defl")
+    spectrum.main([
+        "--model", "spiral", "--lanczos_iters", "8", "--batch_size", "30",
+        "--num_points", "120", "--kpm", "24", "--kpm_probes", "2",
+        "--kpm_deflate", "2", "--out_spectrum", out_npz,
+    ])
+    out = capsys.readouterr().out
+    m = re.search(r"combined E\[lambda\] = ([-\d.e+]+)", out)
+    assert m and np.isfinite(float(m.group(1)))
+    assert "deflated 2 extremal pairs" in out
+    with np.load(out_npz + ".npz") as z:
+        spikes = z["meta_kpm_deflate_eigvals"]
+        assert spikes.shape == (2,)
+        assert z["meta_kpm_moments"].shape == (24,)
+        # the spikes are the extremal |lambda| pairs: outside the bulk
+        bulk_hi = float(z["meta_kpm_center"]) + float(z["meta_kpm_radius"])
+        bulk_lo = float(z["meta_kpm_center"]) - float(z["meta_kpm_radius"])
+        assert np.abs(spikes).max() >= bulk_hi - 1e-6
+        # bulk support is a strict subset of the full spectral range
+        assert bulk_hi - bulk_lo < 2.0 * np.abs(spikes).max()
+
+
 def test_loud_flag_combinations():
     """Silently-dropped flag combos are errors (code-review r3)."""
     from hessian_llm_vision_tpu.cli import spectrum
@@ -579,6 +609,8 @@ def test_loud_flag_combinations():
         spectrum.main(base + ["--kpm", "16", "--thick_restart", "3"])
     with pytest.raises(SystemExit):
         spectrum.main(base + ["--kpm_probes", "8"])
+    with pytest.raises(SystemExit):
+        spectrum.main(base + ["--kpm_deflate", "2"])
     # --host_loop is T-only: a silently-dropped --basis/--host_basis would
     # write ritz_vectors=None npz with no error (code-review r3)
     with pytest.raises(SystemExit):
