@@ -309,13 +309,19 @@ def main(argv=None):
             "--thick_restart applies to the in-core operator paths only "
             "(drop --host_loop/--layerwise/--fused_step/--bigmodel)"
         )
-    if not args.thick_restart and (
-        args.tr_which != "lm" or args.tr_dtype != "float32"
-        or args.tr_tol != 1e-6
+    if not args.thick_restart and args.tr_which != "lm":
+        raise SystemExit(
+            "--tr_which has no effect without --thick_restart K "
+            "(--kpm_deflate always deflates largest-|lambda|)"
+        )
+    if (
+        not args.thick_restart
+        and not args.kpm_deflate
+        and (args.tr_dtype != "float32" or args.tr_tol != 1e-6)
     ):
         raise SystemExit(
-            "--tr_which/--tr_dtype/--tr_tol have no effect without "
-            "--thick_restart K"
+            "--tr_dtype/--tr_tol have no effect without --thick_restart K "
+            "or --kpm_deflate K"
         )
     if not args.layerwise and (
         args.layerwise_group != "leaf" or args.group_regex
@@ -678,10 +684,16 @@ def _run_kpm(args, matvec, dim):
 
     t1 = time.time()
     if args.kpm_deflate:
+        bf16 = args.tr_dtype == "bfloat16"
         dres = deflated_density(
             ensure_program(matvec), dim, args.kpm_deflate, args.kpm,
             jax.random.PRNGKey(args.vector_seed + 2),
             num_probes=args.kpm_probes, progress=True,
+            # LLM-scale memory plan (the --thick_restart knobs): bf16
+            # restart buffer AND bf16 deflation basis, looser residual bar
+            tol=args.tr_tol,
+            store_dtype=jnp.bfloat16 if bf16 else jnp.float32,
+            deflate_dtype=jnp.bfloat16 if bf16 else None,
         )
         kres = dres.bulk
         status = "converged" if dres.converged else "NOT converged"

@@ -104,6 +104,7 @@ def deflated_density(
     inner: Optional[int] = None,
     tol: float = 1e-6,
     store_dtype=jnp.float32,
+    deflate_dtype=None,
     lmin: Optional[float] = None,
     lmax: Optional[float] = None,
     progress: bool = False,
@@ -117,7 +118,12 @@ def deflated_density(
     short Lanczos pass on the deflated operator when omitted — that
     estimate is the whole point: the bulk support is what KPM rescales to
     [-1, 1].  ``inner``/``tol``/``store_dtype`` pass through to
-    ``lanczos_thick_restart``.
+    ``lanczos_thick_restart``.  ``deflate_dtype``: optional storage dtype
+    for the deflation basis itself (bf16 halves both its HBM footprint —
+    the k f32 Ritz rows are 2.5 GB at 124M/k=5 — and the projector's
+    bandwidth; the resulting ~1e-3 projector leakage puts at most
+    ~1e-3·|λ_deflated| of residual outlier weight back into the bulk,
+    far inside KPM's Jackson broadening).
     """
     key_tr, key_kpm = jax.random.split(key)
     res = lanczos_thick_restart(
@@ -131,7 +137,13 @@ def deflated_density(
         store_dtype=store_dtype,
         progress=progress,
     )
-    dmv = deflated_matvec(matvec, res.vectors)
+    eigvals, residuals = res.eigvals, res.residuals
+    converged, n_tr = res.converged, res.matvecs
+    vecs = res.vectors
+    del res  # at LLM scale: don't hold a second basis reference below
+    if deflate_dtype is not None and vecs.dtype != deflate_dtype:
+        vecs = jax.block_until_ready(vecs.astype(deflate_dtype))
+    dmv = deflated_matvec(matvec, vecs)
     bulk = kpm_density(
         dmv,
         dim,
@@ -146,10 +158,10 @@ def deflated_density(
     # + the recurrence (num_moments - 1 per probe)
     kpm_mv = num_probes * (num_moments - 1) + (12 if lmin is None else 0)
     return DeflatedDensity(
-        eigvals=res.eigvals,
-        residuals=res.residuals,
-        converged=res.converged,
+        eigvals=eigvals,
+        residuals=residuals,
+        converged=converged,
         bulk=bulk,
         dim=dim,
-        matvecs=res.matvecs + kpm_mv,
+        matvecs=n_tr + kpm_mv,
     )
