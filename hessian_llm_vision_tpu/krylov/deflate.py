@@ -107,6 +107,7 @@ def deflated_density(
     deflate_dtype=None,
     lmin: Optional[float] = None,
     lmax: Optional[float] = None,
+    basis_sharding=None,
     progress: bool = False,
 ) -> DeflatedDensity:
     """Two-scale spectral density: thick-restart the ``num_deflate``
@@ -123,7 +124,12 @@ def deflated_density(
     the k f32 Ritz rows are 2.5 GB at 124M/k=5 — and the projector's
     bandwidth; the resulting ~1e-3 projector leakage puts at most
     ~1e-3·|λ_deflated| of residual outlier weight back into the bulk,
-    far inside KPM's Jackson broadening).
+    far inside KPM's Jackson broadening).  ``basis_sharding``: optional
+    ``NamedSharding`` for the thick-restart buffer AND the deflation basis
+    (the ``parallel.mesh.basis_sharding`` P-sharding convention) — the
+    projector program then runs on the k P-sharded Ritz rows in place, so
+    the deflated estimator scales past one chip's HBM like
+    ``lanczos_thick_restart`` itself does.
     """
     key_tr, key_kpm = jax.random.split(key)
     res = lanczos_thick_restart(
@@ -135,6 +141,7 @@ def deflated_density(
         tol=tol,
         which="lm",
         store_dtype=store_dtype,
+        basis_sharding=basis_sharding,
         progress=progress,
     )
     eigvals, residuals = res.eigvals, res.residuals
