@@ -1,0 +1,91 @@
+"""Golden pins for the trained-124M train->savehessian capstone artifact.
+
+artifacts/trained124m_r3: the reference's central workflow
+(gpt2_adam_raw.py training -> gpt2_savehessian.py --checkpoint spectra,
+load_model.py:96-140) executed end-to-end on one chip on real text.  Pins:
+
+* training worked (loss 11.05 -> ema ~2.65) and resumed across the
+  save/resume boundary;
+* sharpness growth through training (lambda_max 4.96 -> 1.0e4 -> 3.7e5);
+* the trained-endpoint two-scale structure: residual-certified spikes
+  detached ~8x from the deflated-KPM bulk;
+* the precision A/B that keeps --hvp_precision default 'high': mixed
+  (blocks bf16) inflates lambda_max 5.8x on the trained checkpoint while
+  high agrees with strict f32 to <1e-4.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+ART = os.path.join(
+    os.path.dirname(__file__), "..", "..", "artifacts", "trained124m_r3"
+)
+
+# measured 2026-08-18 on the real chip (README.md)
+S1000_LAMBDA_MAX = 10104.275
+S2000_LAMBDA_MAX = 369248.28
+S2000_SPIKES = (-312596.18, -291129.56, 264318.49, 369760.68)
+
+
+def _summary():
+    path = os.path.join(ART, "summary.json")
+    if not os.path.exists(path):
+        pytest.skip("artifact not present")
+    with open(path) as f:
+        return json.load(f)
+
+
+def test_training_trajectory_and_resume():
+    s = _summary()
+    assert s["train_loss_init"] > 10.0  # ~ln(256) byte-level init
+    assert s["train_loss_ema_step1000"] is None or s["train_loss_ema_step1000"] < 2.8
+    assert s["train_loss_ema_step2000"] is None or s["train_loss_ema_step2000"] < 2.8
+
+
+def test_sharpness_growth():
+    s = _summary()
+    lam0 = s["lambda_max_init_protocol"]
+    lam1 = s["step1000"]["lambda_max"]
+    lam2 = s["step2000"]["lambda_max"]
+    np.testing.assert_allclose(lam1, S1000_LAMBDA_MAX, rtol=1e-4)
+    np.testing.assert_allclose(lam2, S2000_LAMBDA_MAX, rtol=1e-4)
+    assert lam0 < 10.0 < lam1 < 1e5 < lam2  # 5 decades of growth
+    # SLQ quadrature stays a probability measure at trained scale
+    np.testing.assert_allclose(s["step1000"]["weight_sum"], 1.0, rtol=1e-3)
+    np.testing.assert_allclose(s["step2000"]["weight_sum"], 1.0, rtol=1e-3)
+
+
+def test_trained_spike_detachment():
+    s = _summary()
+    k = s["step2000_kpm"]
+    assert k["deflate_converged"]
+    np.testing.assert_allclose(
+        np.sort(k["deflate_eigvals"]), S2000_SPIKES, rtol=1e-4
+    )
+    # residual certificates: bounded relative to the spike scale
+    resid = np.asarray(k["deflate_residuals"], np.float64)
+    assert resid.max() < 2e-3 * np.abs(k["deflate_eigvals"]).max()
+    # the headline structure: spikes detached from the 99.8%-mass bulk
+    assert k["spike_detachment"] > 5.0
+    lo, hi = k["bulk_range_998"]
+    assert lo < 0 < hi
+    assert max(np.abs(k["deflate_eigvals"])) > 4 * max(abs(lo), abs(hi))
+    # cross-check: top spike vs independently-run SLQ lambda_max
+    np.testing.assert_allclose(
+        np.max(k["deflate_eigvals"]), s["step2000"]["lambda_max"], rtol=2e-3
+    )
+
+
+def test_precision_ab_pins_the_high_default():
+    s = _summary()
+    ab = s["precision_ab_step2000"]
+    # high agrees with the f32 referee
+    assert ab["high_vs_strict_rel"] < 1e-3
+    # mixed is catastrophically inflated on the trained checkpoint
+    assert ab["mixed_over_high_ratio"] > 3.0
+    # and already measurably wrong at step 1000
+    ab1 = s["precision_ab_step1000"]
+    assert ab1["mixed_lambda_max"] > 1.5 * ab1["high_lambda_max"]
