@@ -142,6 +142,21 @@ def build_parser() -> argparse.ArgumentParser:
                    help="relative residual tolerance for --thick_restart "
                    "(scale = max|theta|; raise to ~2e-3 with bf16 storage)")
     p.add_argument("--no_reorth", action="store_true")
+    p.add_argument("--precision_check", action="store_true",
+                   help="before the spectrum, run a short T-only Lanczos "
+                   "on batch 1 in BOTH the requested precision and an f32 "
+                   "referee (2x--precision_check_iters HVPs + one compile) "
+                   "and warn when the extreme Ritz values disagree beyond "
+                   "the 2e-3 parity bar — low-precision curvature error is "
+                   "CHECKPOINT-dependent (mixed: <=5e-4 at init, 5.8x "
+                   "lambda_max inflation after 2000 Adam steps; "
+                   "artifacts/trained124m_r3)")
+    p.add_argument("--precision_check_iters", type=int, default=10,
+                   help="Lanczos iterations per arm of --precision_check; "
+                   "calibrated on-chip at 124M: 10 iters separates the "
+                   "regimes cleanly (init mixed 7.3e-4 PASS vs trained "
+                   "5.3e-1 FAIL), 5 iters is under-converged and false-"
+                   "positives marginally (init 2.1e-3)")
     p.add_argument("--hvp_precision", default="high",
                    choices=["high", "highest", "default", "mixed"],
                    help="matmul precision under the curvature trace "
@@ -330,6 +345,52 @@ def main(argv=None):
             "--layerwise_group/--group_regex have no effect without "
             "--layerwise"
         )
+
+    if not args.precision_check and args.precision_check_iters != 10:
+        raise SystemExit(
+            "--precision_check_iters has no effect without --precision_check"
+        )
+    if args.precision_check:
+        import sys as _sys
+
+        from hessian_llm_vision_tpu.krylov import matvec_precision_probe
+
+        referee_loss_fn = None
+        if getattr(args, "block_precision", None):
+            # the low precision is baked into the model config
+            # (block_matmul_precision); rebuild the model for the referee
+            # arm and run it on the SAME params
+            import copy as _copy
+
+            ref_args = _copy.copy(args)
+            ref_args.block_precision = None
+            referee_loss_fn = build_workload(ref_args).loss_fn
+        stats = matvec_precision_probe(
+            wl.loss_fn, wl.params, wl.batches[0],
+            key=jax.random.PRNGKey(args.vector_seed),
+            precision=args.hvp_precision,
+            referee_loss_fn=referee_loss_fn,
+            ritz_iters=args.precision_check_iters,
+        )
+        print(
+            f"[precision] extreme-Ritz rel err vs f32 referee "
+            f"({args.precision_check_iters} iters): "
+            f"{stats['ritz_rel_err']:.3e}  (matvec rel err "
+            f"{stats['rel_err']:.3e}; "
+            f"{stats['seconds_requested']:.2f}s vs {stats['seconds_referee']:.2f}s "
+            f"per HVP)",
+            flush=True,
+        )
+        if stats["ritz_rel_err"] > 2e-3:
+            print(
+                f"[precision] WARNING: extreme-Ritz error "
+                f"{stats['ritz_rel_err']:.3e} exceeds the 2e-3 parity bar "
+                "at THIS checkpoint — the spectrum's extreme eigenvalues "
+                "will be unreliable; rerun with --hvp_precision high (or "
+                "highest) and without --block_precision",
+                file=_sys.stderr,
+                flush=True,
+            )
 
     if args.layerwise:
         dropped = [

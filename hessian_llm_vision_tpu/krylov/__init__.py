@@ -7,6 +7,7 @@ from hessian_llm_vision_tpu.krylov.host_lanczos import lanczos_host_basis
 from hessian_llm_vision_tpu.krylov.driver import (
     dataset_spectrum_host,
     layerwise_spectrum_host,
+    matvec_precision_probe,
 )
 from hessian_llm_vision_tpu.krylov.compare import (
     ritz_relative_error,

@@ -89,6 +89,138 @@ def _jitted_batch_ggn(model_fn, out_loss_fn, precision, fl):
     return batch_ggn
 
 
+def matvec_precision_probe(
+    loss_fn: Callable[[Any, Any], jax.Array],
+    params: Any,
+    batch: Any,
+    *,
+    vector: Optional[jax.Array] = None,
+    key: Optional[jax.Array] = None,
+    precision: Optional[str] = "high",
+    referee_precision: str = "highest",
+    referee_loss_fn: Optional[Callable[[Any, Any], jax.Array]] = None,
+    flattener: Optional[Flattener] = None,
+    ritz_iters: int = 0,
+) -> dict:
+    """Measure the requested-precision HVP against an f32 referee, one batch.
+
+    Low-precision curvature error is CHECKPOINT-DEPENDENT, not a property
+    of the model: the 'mixed' (blocks-at-bf16) mode is ≤5e-4 on extreme
+    Ritz values for GPT-2 124M at random init yet inflates λmax 5.8× on
+    the same model after 2000 Adam steps, where curvature is 10⁵× larger
+    (measured A/B: artifacts/trained124m_r3/).  This probe makes that
+    failure detectable for ~2 extra HVPs BEFORE a spectrum job spends its
+    budget: it computes ``w = H v`` for one unit probe vector under the
+    requested ``precision`` and under ``referee_precision`` (f32 6-pass by
+    default) and reports
+
+    * ``rel_err``       — ‖w_req − w_ref‖₂ / ‖w_ref‖₂ (normalization-
+      invariant: both arms use the per-batch mean loss),
+    * ``alpha_rel_err`` — relative error of the Rayleigh quotient vᵀw,
+      i.e. the first Lanczos α (what the recurrence actually consumes),
+    * per-arm wall seconds (the speed the accuracy is buying),
+    * with ``ritz_iters=N > 0``: ``ritz_rel_err`` — the worst relative
+      disagreement of the extreme Ritz values (λmax AND λmin) between an
+      N-iteration T-only Lanczos run in each arm from the same probe.
+
+    **Which number gates the job**: ``ritz_rel_err``, not ``rel_err``.
+    Extremal Ritz values are robust to spectrally incoherent matvec noise
+    — measured on-chip at 124M random init, mixed shows matvec rel err
+    1.1e-2 yet extreme-Ritz error only ~5e-4 (passes the parity bar),
+    while the trained ckpt2000 shows matvec rel err 1.04 and Ritz values
+    off 5.8× (.logs/prec_check_demo.log).  ``alpha_rel_err`` is reported
+    for completeness but is meaningless near E[λ]≈0 (LM Hessians: the
+    first Rayleigh quotient of a random probe is a near-zero mean, so its
+    RELATIVE error blows up without any spectrum-level inaccuracy).
+
+    ``referee_loss_fn``: pass a separately-built loss when the low
+    precision is baked into the model itself (the CLI's
+    ``--block_precision`` / ``--hvp_precision mixed`` path rebuilds the
+    model with ``block_matmul_precision=None`` for the referee arm);
+    defaults to ``loss_fn``.
+
+    The requested-precision program comes from the SAME module-level cache
+    (:func:`_jitted_batch_hvp`) the spectrum host loops use, so the probe
+    adds one referee compile, not two.  Reference role: none — the
+    reference runs f64-capable CUDA matmuls and never needed this; on TPU
+    the bf16-family speed tiers make it a first-class safety check.
+    """
+    fl = flattener or Flattener(params)
+    if (vector is None) == (key is None):
+        raise ValueError("pass exactly one of vector / key")
+    if vector is None:
+        vector = jax.random.normal(key, (fl.size,), jnp.float32)
+    v = vector.astype(jnp.float32)
+    v = v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
+
+    req = _jitted_batch_hvp(loss_fn, "mean", precision, fl)
+    ref = _jitted_batch_hvp(
+        referee_loss_fn or loss_fn, "mean", referee_precision, fl
+    )
+
+    t0 = time.perf_counter()
+    w_req = req(v, params, batch)
+    w_req.block_until_ready()
+    t_req = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    w_ref = ref(v, params, batch)
+    w_ref.block_until_ready()
+    t_ref = time.perf_counter() - t0
+
+    # one fused comparison program: 2 P-vectors in, 3 scalars out (never
+    # stage the P-vectors on host — tunnel D2H is 5 MB/s)
+    diff_norm, ref_norm, a_req, a_ref = _jit_probe_stats(w_req, w_ref, v)
+    ref_n = float(ref_norm)
+    a_ref_f = float(a_ref)
+    stats = {
+        "rel_err": float(diff_norm) / max(ref_n, 1e-30),
+        "alpha_rel_err": abs(float(a_req) - a_ref_f) / max(abs(a_ref_f), 1e-30),
+        "alpha_requested": float(a_req),
+        "alpha_referee": a_ref_f,
+        "seconds_requested": t_req,
+        "seconds_referee": t_ref,
+    }
+    if ritz_iters > 0:
+        lo_q, hi_q = _tiny_lanczos_extremes(req, v, params, batch, ritz_iters)
+        lo_r, hi_r = _tiny_lanczos_extremes(ref, v, params, batch, ritz_iters)
+        scale_r = max(abs(lo_r), abs(hi_r), 1e-30)
+        stats["ritz_rel_err"] = max(abs(hi_q - hi_r), abs(lo_q - lo_r)) / scale_r
+        stats["ritz_extremes_requested"] = (lo_q, hi_q)
+        stats["ritz_extremes_referee"] = (lo_r, hi_r)
+    return stats
+
+
+def _tiny_lanczos_extremes(batch_hvp, v0, params, batch, num_iters):
+    """(λ_min, λ_max) Ritz estimates from a short T-only Lanczos over one
+    batch's cached HVP program — the probe quantity the parity bar gates.
+    Host-driven: each iteration is one dispatch of ``batch_hvp`` (never a
+    chained program; remote-compile ceiling, CLAUDE.md)."""
+    q_cur, q_prev = v0, jnp.zeros_like(v0)
+    beta_prev = jnp.float32(0.0)
+    alphas, betas = [], []
+    for _ in range(num_iters):
+        w = batch_hvp(q_cur, params, batch)
+        alpha, beta, q_next = host_recurrence_step(w, q_cur, q_prev, beta_prev)
+        q_prev, q_cur, beta_prev = q_cur, q_next, beta
+        alphas.append(alpha)
+        betas.append(beta)
+    a = np.asarray(jnp.stack(alphas), np.float64)
+    b = np.asarray(jnp.stack(betas[:-1]), np.float64) if num_iters > 1 else np.zeros((0,))
+    T = np.diag(a) + np.diag(b, 1) + np.diag(b, -1)
+    ev = np.linalg.eigvalsh(T)
+    return float(ev[0]), float(ev[-1])
+
+
+_jit_probe_stats = jax.jit(
+    lambda w_req, w_ref, v: (
+        jnp.linalg.norm(w_req - w_ref),
+        jnp.linalg.norm(w_ref),
+        jnp.vdot(v, w_req),
+        jnp.vdot(v, w_ref),
+    )
+)
+
+
 @functools.lru_cache(maxsize=32)
 def _jitted_masked_batch_hvp(loss_fn, per_batch_norm, precision, fl):
     """ONE jitted block-restricted HVP for ALL parameter leaves.

@@ -694,3 +694,35 @@ def test_spectrum_cli_fused_iter(tmp_path, capsys):
         spectrum.main(args + ["--fused_iter"])
     with pytest.raises(SystemExit, match="host_loop"):
         spectrum.main(args[:2] + ["--bigmodel", "--num_batches", "1"])
+
+
+def test_spectrum_cli_precision_check(tmp_path, capsys):
+    """--precision_check prints the probe line on every path, including the
+    mixed-mode referee rebuild (block_matmul_precision=None arm)."""
+    from hessian_llm_vision_tpu.cli import spectrum
+
+    out = str(tmp_path / "spec")
+    args = [
+        "--model", "gpt2-tiny", "--lanczos_iters", "4", "--batch_size", "2",
+        "--num_batches", "2", "--max_length", "16", "--precision_check",
+    ]
+    spectrum.main(args + ["--host_loop", "--out_spectrum", out])
+    out_text = capsys.readouterr().out
+    assert "[precision] extreme-Ritz rel err vs f32 referee" in out_text
+    assert os.path.exists(out + ".npz")
+
+    # mixed mode: the referee arm rebuilds the model without the baked-in
+    # block precision; on CPU every precision is f32 so no warning fires
+    spectrum.main(args + ["--hvp_precision", "mixed",
+                          "--precision_check_iters", "3"])
+    captured = capsys.readouterr()
+    assert "[precision] extreme-Ritz rel err vs f32 referee (3 iters)" in captured.out
+    assert "WARNING" not in captured.err
+
+    # loud-flags policy
+    import pytest
+    with pytest.raises(SystemExit):
+        spectrum.main([
+            "--model", "spiral", "--lanczos_iters", "4",
+            "--precision_check_iters", "3",
+        ])

@@ -321,3 +321,86 @@ def test_fused_dataset_ggn_matches_unfused(key):
     )
     # GGN is PSD: fused path must preserve that
     assert float(sf.eigvals[0]) > -1e-5
+
+
+def test_matvec_precision_probe(key):
+    """Mechanism test (CPU matmuls are f32 at every named precision, so the
+    real bf16 error is exercised on-chip — artifacts/trained124m_r3): equal
+    arms agree to f32 round-off; a perturbed referee yields the analytic
+    relative error; the Rayleigh-quotient alpha matches a direct HVP."""
+    from hessian_llm_vision_tpu.krylov.driver import matvec_precision_probe
+
+    x, y = make_spirals(60, seed=3)
+    model = SpiralMLP(width=10, depth=2)
+    params = model.init(key, x[:4])["params"]
+
+    def loss_fn(p, b):
+        return losses.softmax_cross_entropy(model.apply({"params": p}, b[0]), b[1])
+
+    batch = (jnp.asarray(x), jnp.asarray(y))
+    fl = Flattener(params)
+
+    stats = matvec_precision_probe(
+        loss_fn, params, batch, key=key, precision="high", flattener=fl
+    )
+    assert stats["rel_err"] < 1e-5
+    assert stats["alpha_rel_err"] < 1e-5
+    assert stats["seconds_requested"] > 0 and stats["seconds_referee"] > 0
+
+    # alpha == v^T H v of the unit probe vector, cross-checked directly
+    from hessian_llm_vision_tpu.curvature.hvp import hvp
+
+    v = jax.random.normal(key, (fl.size,), jnp.float32)
+    v = v / jnp.linalg.norm(v)
+    w = fl.flatten(hvp(loss_fn, params, batch, fl.unflatten(v),
+                       precision="highest"))
+    np.testing.assert_allclose(
+        stats["alpha_referee"], float(jnp.vdot(v, w)), rtol=1e-5
+    )
+
+    # a referee scaled by (1+eps) must report rel_err == eps exactly
+    eps = 0.125
+
+    def scaled_loss_fn(p, b):
+        return (1.0 + eps) * loss_fn(p, b)
+
+    stats2 = matvec_precision_probe(
+        loss_fn, params, batch, key=key, precision="high",
+        referee_loss_fn=scaled_loss_fn, flattener=fl,
+    )
+    np.testing.assert_allclose(stats2["rel_err"], eps / (1 + eps), rtol=1e-4)
+    np.testing.assert_allclose(
+        stats2["alpha_rel_err"], eps / (1 + eps), rtol=1e-4
+    )
+
+    # ritz_iters: short-Lanczos extremes agree across equal arms and with
+    # a dense eigh of the true Hessian at full rank
+    stats3 = matvec_precision_probe(
+        loss_fn, params, batch, key=key, precision="high", flattener=fl,
+        ritz_iters=fl.size,
+    )
+    assert stats3["ritz_rel_err"] < 1e-4
+    dense = np.linalg.eigvalsh(
+        np.asarray(fl.flatten_2d(jax.hessian(loss_fn)(params, batch)))
+        if hasattr(fl, "flatten_2d")
+        else np.stack(
+            [
+                np.asarray(
+                    fl.flatten(hvp(loss_fn, params, batch,
+                                   fl.unflatten(jnp.eye(fl.size)[i]),
+                                   precision="highest"))
+                )
+                for i in range(fl.size)
+            ],
+            axis=1,
+        )
+    )
+    lo, hi = stats3["ritz_extremes_referee"]
+    np.testing.assert_allclose(hi, dense[-1], rtol=1e-3)
+    np.testing.assert_allclose(lo, dense[0], atol=1e-3 * abs(dense[-1]))
+
+    # vector/key contract matches the host-loop convention
+    import pytest
+
+    with pytest.raises(ValueError):
+        matvec_precision_probe(loss_fn, params, batch, flattener=fl)
