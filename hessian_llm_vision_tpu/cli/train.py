@@ -46,7 +46,18 @@ def build_parser() -> argparse.ArgumentParser:
                    "'default' (1 bf16 MXU pass) is 1.68x faster at ~1e-3 "
                    "Ritz error, fine for delta-damped training refreshes; "
                    "'mixed' = blocks 'default' + vocab head 'high' "
-                   "(1.5x faster at <5e-4 extreme-Ritz error, LMs only)")
+                   "(1.5x faster at <5e-4 extreme-Ritz error, LMs only). "
+                   "Those errors are measured at INIT-scale curvature; "
+                   "when resuming a trained checkpoint add "
+                   "--precision_check (landscape sharpening makes bf16 "
+                   "refresh error checkpoint-dependent; "
+                   "artifacts/trained124m_r3)")
+    p.add_argument("--precision_check", action="store_true",
+                   help="lanczos-host/-layer-host: before training, probe "
+                   "the refresh-precision HVP against an f32 referee at "
+                   "the starting params (2x10 HVPs) and warn above the "
+                   "2e-3 extreme-Ritz bar — catches low-precision refresh "
+                   "corruption when resuming trained checkpoints")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--beta2", type=float, default=0.999,
@@ -143,6 +154,14 @@ def main(argv=None) -> float:
     logger = MultiLogger(loggers)
 
     accum = args.accumulation_steps
+    if args.precision_check and args.optimiser not in (
+        "lanczos-host", "lanczos-layer-host"
+    ):
+        raise SystemExit(
+            "--precision_check probes the HOST trainers' refresh HVPs; "
+            "use --optimiser lanczos-host/lanczos-layer-host (for spectrum "
+            "jobs use spectrum --precision_check)"
+        )
     if args.optimiser == "lanczos-layer" and accum > 1:
         raise SystemExit(
             "--optimiser lanczos-layer does not support "
@@ -237,6 +256,33 @@ def main(argv=None) -> float:
                 refresh_precision=args.refresh_precision,
             )
         init_fn, step_fn = trainer.init, trainer.step
+
+        if args.precision_check:
+            import sys as _sys
+
+            from hessian_llm_vision_tpu.optim.lanczos_sgd_host import (
+                refresh_precision_probe,
+            )
+
+            stats = refresh_precision_probe(
+                trainer, wl.params, wl.batches[0],
+                key=jax.random.PRNGKey(args.seed),
+            )
+            print(
+                f"[precision] refresh extreme-Ritz rel err vs f32 referee: "
+                f"{stats['ritz_rel_err']:.3e} (matvec rel err "
+                f"{stats['rel_err']:.3e})",
+                flush=True,
+            )
+            if stats["ritz_rel_err"] > 2e-3:
+                print(
+                    f"[precision] WARNING: refresh-precision error "
+                    f"{stats['ritz_rel_err']:.3e} exceeds the 2e-3 bar at "
+                    "the starting params — LanczosSGD's Ritz pairs will be "
+                    "unreliable; use --refresh_precision high (or highest)",
+                    file=_sys.stderr,
+                    flush=True,
+                )
     elif args.optimiser in ("gn", "ngd"):
         from hessian_llm_vision_tpu.optim import (
             make_gauss_newton_step,

@@ -87,7 +87,12 @@ class HostLanczosSGDTrainer:
         1.68x faster on the 124M HVP with ~1e-3 relative error on the
         extreme Ritz values — acceptable for TRAINING refreshes, where the
         delta-damped adjustment tolerates %-level eigenvalue error, but not
-        for reference-parity spectra.
+        for reference-parity spectra.  Those error bars are INIT-scale
+        measurements: bf16-tier error grows with the curvature scale (5.8×
+        λmax inflation at a 2000-step Adam checkpoint,
+        artifacts/trained124m_r3/) — when resuming a trained checkpoint,
+        probe first (:func:`refresh_precision_probe` / the train CLI's
+        ``--precision_check``).
 
         ``config.accum_steps > 1``: ``step`` expects batch leaves with a
         leading ``(accum, batch, ...)`` micro-batch axis and accumulates
@@ -101,6 +106,7 @@ class HostLanczosSGDTrainer:
         self.cfg = config
         self.basis_dtype = basis_dtype
         self.refresh_batch_size = refresh_batch_size
+        self.refresh_precision = refresh_precision
         self.fl = Flattener(params_template)
         self.loss_fn = loss_fn
         _hvp = hvp_fn(
@@ -346,6 +352,8 @@ class HostLayerwiseLanczosSGDTrainer:
 
         self.cfg = config
         self.basis_dtype = basis_dtype
+        self.refresh_precision = refresh_precision
+        self.loss_fn = loss_fn
         self.fl = Flattener(params_template)
         fl = self.fl
         cfg = config
@@ -487,3 +495,35 @@ class HostLayerwiseLanczosSGDTrainer:
             "layer_eig_min": eig_min,
         }
         return state, metrics
+
+
+def refresh_precision_probe(
+    trainer, params: Any, batch: Any, *,
+    key: Optional[jax.Array] = None, ritz_iters: int = 10,
+) -> dict:
+    """Measure the trainer's ``refresh_precision`` HVP fidelity at THESE
+    params against an f32 referee (one batch, ~2×``ritz_iters`` HVPs).
+
+    Low-precision refresh error is CHECKPOINT-dependent: the landscape
+    sharpens through training (λmax 4.96 → 3.7e5 over 2000 Adam steps at
+    124M, artifacts/trained124m_r3/), so a ``refresh_precision`` that was
+    parity-grade at init can silently corrupt the Ritz pairs the adjusted
+    step relies on after resuming a trained checkpoint.  Call this at
+    resume time (the ``train --precision_check`` flag does) and gate on
+    ``ritz_rel_err`` — see ``krylov.matvec_precision_probe`` for why the
+    extreme-Ritz error, not the raw matvec error, is the right gate.
+
+    Works for both :class:`HostLanczosSGDTrainer` and
+    :class:`HostLayerwiseLanczosSGDTrainer` (the probe runs the FULL
+    Hessian; per-leaf refresh fidelity is bounded by it since the masked
+    HVP is the same program with a restriction).
+    """
+    from hessian_llm_vision_tpu.krylov.driver import matvec_precision_probe
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    return matvec_precision_probe(
+        trainer.loss_fn, params, batch, key=key,
+        precision=trainer.refresh_precision, flattener=trainer.fl,
+        ritz_iters=ritz_iters,
+    )

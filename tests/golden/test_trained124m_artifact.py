@@ -89,3 +89,29 @@ def test_precision_ab_pins_the_high_default():
     # and already measurably wrong at step 1000
     ab1 = s["precision_ab_step1000"]
     assert ab1["mixed_lambda_max"] > 1.5 * ab1["high_lambda_max"]
+
+
+def test_trained_blockwise_localization():
+    """The per-block sweep of ckpt2000: trained curvature concentrates in
+    the (tied) embedding; late blocks stay O(1)."""
+    path = os.path.join(ART, "blocks", "layerwise_summary.json")
+    if not os.path.exists(path):
+        pytest.skip("block sweep artifact not present")
+    with open(path) as f:
+        rows = json.load(f)  # examples/layerwise_table.py row list
+    per_block = {r["leaf"]: r for r in rows}
+    assert set(per_block) == (
+        {f"h_{i}" for i in range(12)} | {"wte", "wpe", "ln_f"}
+    )
+    np.testing.assert_allclose(
+        per_block["wte"]["lambda_max"], 355141.47, rtol=1e-4
+    )
+    # embeddings carry the trained outliers ...
+    assert per_block["wte"]["lambda_max"] > 1e5
+    assert per_block["wpe"]["lambda_max"] > 1e5
+    # ... h_0 is next, orders of magnitude below ...
+    assert 1e3 < per_block["h_0"]["lambda_max"] < per_block["wpe"]["lambda_max"] / 3
+    # ... and the last three blocks stay O(1)
+    for blk in ("h_9", "h_10", "h_11"):
+        assert abs(per_block[blk]["lambda_max"]) < 10.0
+        assert abs(per_block[blk]["lambda_min"]) < 10.0

@@ -726,3 +726,29 @@ def test_spectrum_cli_precision_check(tmp_path, capsys):
             "--model", "spiral", "--lanczos_iters", "4",
             "--precision_check_iters", "3",
         ])
+
+
+def test_train_cli_precision_check(tmp_path, capsys):
+    """--precision_check probes the refresh precision before training (host
+    trainers only; loud error elsewhere)."""
+    from hessian_llm_vision_tpu.cli import train
+
+    common = [
+        "--model", "spiral", "--optimiser", "lanczos-host", "--k", "3",
+        "--refresh_every", "2", "--lr", "0.05", "--batch_size", "60",
+        "--log_every", "100", "--out", str(tmp_path / "runs"),
+        "--epochs", "1", "--precision_check",
+    ]
+    loss = train.main(common)
+    assert np.isfinite(loss)
+    captured = capsys.readouterr()
+    assert "[precision] refresh extreme-Ritz rel err vs f32 referee" in captured.out
+    # CPU matmuls are f32 at every named precision: no warning
+    assert "WARNING" not in captured.err
+
+    import pytest
+    with pytest.raises(SystemExit):
+        train.main([
+            "--model", "spiral", "--optimiser", "adam", "--epochs", "1",
+            "--precision_check", "--out", str(tmp_path / "runs2"),
+        ])
