@@ -496,6 +496,53 @@ def resolve_mixed_precision(args, attr: str) -> None:
             args.block_precision = "default"
 
 
+def report_precision_probe(stats: dict, iters: int, *, what: str,
+                           hint: str, bar: float = 2e-3) -> None:
+    """ONE report/threshold/WARNING block for every --precision_check CLI
+    (spectrum gates its HVP precision, train its refresh precision) — the
+    2e-3 extreme-Ritz parity bar lives here and nowhere else."""
+    import sys
+
+    print(
+        f"[precision] {what} extreme-Ritz rel err vs f32 referee "
+        f"({iters} iters): {stats['ritz_rel_err']:.3e}  "
+        f"(matvec rel err {stats['rel_err']:.3e}; "
+        f"{stats['seconds_requested']:.2f}s vs {stats['seconds_referee']:.2f}s "
+        f"per HVP)",
+        flush=True,
+    )
+    if stats["ritz_rel_err"] > bar:
+        print(
+            f"[precision] WARNING: extreme-Ritz error "
+            f"{stats['ritz_rel_err']:.3e} exceeds the {bar:g} parity bar at "
+            f"THIS checkpoint — {hint}",
+            file=sys.stderr,
+            flush=True,
+        )
+
+
+def referee_loss_fn_for(args):
+    """A clean-model loss for the f32 referee arm of --precision_check.
+
+    Returns None when no block precision is baked into the model (the
+    probe's outer 'highest' context then suffices).  Otherwise rebuilds the
+    workload with ``block_matmul_precision=None`` — the model's inner
+    ``jax.default_matmul_precision`` scope overrides any outer context, so
+    without this BOTH probe arms would run bf16 blocks and the probe would
+    falsely pass on exactly the 'mixed' mode it exists to catch.  The
+    rebuild re-loads checkpoint/data only to be discarded — wasteful but
+    correct for a diagnostic; the probe's cost is dominated by the referee
+    compile either way.
+    """
+    if not getattr(args, "block_precision", None):
+        return None
+    import copy
+
+    ref_args = copy.copy(args)
+    ref_args.block_precision = None
+    return build_workload(ref_args).loss_fn
+
+
 def maybe_force_cpu(args) -> None:
     if getattr(args, "cpu", False):
         jax.config.update("jax_platforms", "cpu")

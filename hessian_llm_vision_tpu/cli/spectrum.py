@@ -351,46 +351,38 @@ def main(argv=None):
             "--precision_check_iters has no effect without --precision_check"
         )
     if args.precision_check:
-        import sys as _sys
-
+        if args.precision_check_iters < 1:
+            raise SystemExit("--precision_check_iters must be >= 1")
+        if args.operator != "hessian":
+            # the probe gates the HESSIAN matvec program; a GGN/Fisher job
+            # runs a different jvp/vjp program with its own precision
+            # sensitivity — a Hessian verdict would describe an operator
+            # the job never dispatches
+            raise SystemExit(
+                f"--precision_check supports --operator hessian only "
+                f"(the {args.operator} matvec is a different program; "
+                "probe it via krylov.matvec_precision_probe on a GGN "
+                "closure if needed)"
+            )
+        from hessian_llm_vision_tpu.cli.common import (
+            referee_loss_fn_for,
+            report_precision_probe,
+        )
         from hessian_llm_vision_tpu.krylov import matvec_precision_probe
 
-        referee_loss_fn = None
-        if getattr(args, "block_precision", None):
-            # the low precision is baked into the model config
-            # (block_matmul_precision); rebuild the model for the referee
-            # arm and run it on the SAME params
-            import copy as _copy
-
-            ref_args = _copy.copy(args)
-            ref_args.block_precision = None
-            referee_loss_fn = build_workload(ref_args).loss_fn
         stats = matvec_precision_probe(
             wl.loss_fn, wl.params, wl.batches[0],
             key=jax.random.PRNGKey(args.vector_seed),
             precision=args.hvp_precision,
-            referee_loss_fn=referee_loss_fn,
+            referee_loss_fn=referee_loss_fn_for(args),
             ritz_iters=args.precision_check_iters,
         )
-        print(
-            f"[precision] extreme-Ritz rel err vs f32 referee "
-            f"({args.precision_check_iters} iters): "
-            f"{stats['ritz_rel_err']:.3e}  (matvec rel err "
-            f"{stats['rel_err']:.3e}; "
-            f"{stats['seconds_requested']:.2f}s vs {stats['seconds_referee']:.2f}s "
-            f"per HVP)",
-            flush=True,
+        report_precision_probe(
+            stats, args.precision_check_iters, what="HVP",
+            hint="the spectrum's extreme eigenvalues will be unreliable; "
+                 "rerun with --hvp_precision high (or highest) and without "
+                 "--block_precision",
         )
-        if stats["ritz_rel_err"] > 2e-3:
-            print(
-                f"[precision] WARNING: extreme-Ritz error "
-                f"{stats['ritz_rel_err']:.3e} exceeds the 2e-3 parity bar "
-                "at THIS checkpoint — the spectrum's extreme eigenvalues "
-                "will be unreliable; rerun with --hvp_precision high (or "
-                "highest) and without --block_precision",
-                file=_sys.stderr,
-                flush=True,
-            )
 
     if args.layerwise:
         dropped = [

@@ -256,33 +256,6 @@ def main(argv=None) -> float:
                 refresh_precision=args.refresh_precision,
             )
         init_fn, step_fn = trainer.init, trainer.step
-
-        if args.precision_check:
-            import sys as _sys
-
-            from hessian_llm_vision_tpu.optim.lanczos_sgd_host import (
-                refresh_precision_probe,
-            )
-
-            stats = refresh_precision_probe(
-                trainer, wl.params, wl.batches[0],
-                key=jax.random.PRNGKey(args.seed),
-            )
-            print(
-                f"[precision] refresh extreme-Ritz rel err vs f32 referee: "
-                f"{stats['ritz_rel_err']:.3e} (matvec rel err "
-                f"{stats['rel_err']:.3e})",
-                flush=True,
-            )
-            if stats["ritz_rel_err"] > 2e-3:
-                print(
-                    f"[precision] WARNING: refresh-precision error "
-                    f"{stats['ritz_rel_err']:.3e} exceeds the 2e-3 bar at "
-                    "the starting params — LanczosSGD's Ritz pairs will be "
-                    "unreliable; use --refresh_precision high (or highest)",
-                    file=_sys.stderr,
-                    flush=True,
-                )
     elif args.optimiser in ("gn", "ngd"):
         from hessian_llm_vision_tpu.optim import (
             make_gauss_newton_step,
@@ -348,6 +321,46 @@ def main(argv=None) -> float:
         else:
             state0 = load_checkpoint(args.resume_state, template=state0)
         print(f"resumed train state <- {args.resume_state}")
+
+    if args.precision_check:
+        # AFTER --resume_state: the probe must see the params training will
+        # actually start from — probing init-scale curvature and then
+        # swapping in a trained checkpoint would falsely pass exactly the
+        # checkpoint-dependent regime the flag exists for
+        import jax
+
+        from hessian_llm_vision_tpu.cli.common import (
+            referee_loss_fn_for,
+            report_precision_probe,
+        )
+        from hessian_llm_vision_tpu.optim.lanczos_sgd_host import (
+            refresh_precision_probe,
+        )
+
+        # mirror the refresh's memory plan: the refresh HVP runs on one
+        # micro-batch further sliced by --refresh_batch_size — probing the
+        # full un-microbatched batch could OOM a job those flags make fit
+        probe_n = None
+        if accum > 1:
+            probe_n = max(wl.batch_size // accum, 1)
+        if args.refresh_batch_size:
+            probe_n = min(probe_n or args.refresh_batch_size,
+                          args.refresh_batch_size)
+        probe_batch = wl.batches[0]
+        if probe_n is not None:
+            probe_batch = jax.tree_util.tree_map(
+                lambda x: x[:probe_n], probe_batch
+            )
+        stats = refresh_precision_probe(
+            trainer, state0.params, probe_batch,
+            key=jax.random.PRNGKey(args.seed),
+            referee_loss_fn=referee_loss_fn_for(args),
+        )
+        report_precision_probe(
+            stats, 10, what="refresh",
+            hint="LanczosSGD's Ritz pairs will be unreliable; use "
+                 "--refresh_precision high (or highest)",
+        )
 
     on_state = None
     if args.snapshot_every > 0:

@@ -158,13 +158,19 @@ def matvec_precision_probe(
         referee_loss_fn or loss_fn, "mean", referee_precision, fl
     )
 
-    t0 = time.perf_counter()
+    # first dispatch warms the program (compile can be minutes through the
+    # remote tunnel); the TIMED dispatch is the second one, so the reported
+    # per-HVP seconds are steady-state — the speed-vs-accuracy comparison
+    # the caller prints would otherwise be dominated by one-time compiles
     w_req = req(v, params, batch)
     w_req.block_until_ready()
-    t_req = time.perf_counter() - t0
     t0 = time.perf_counter()
+    req(v, params, batch).block_until_ready()
+    t_req = time.perf_counter() - t0
     w_ref = ref(v, params, batch)
     w_ref.block_until_ready()
+    t0 = time.perf_counter()
+    ref(v, params, batch).block_until_ready()
     t_ref = time.perf_counter() - t0
 
     # one fused comparison program: 2 P-vectors in, 3 scalars out (never

@@ -500,6 +500,7 @@ class HostLayerwiseLanczosSGDTrainer:
 def refresh_precision_probe(
     trainer, params: Any, batch: Any, *,
     key: Optional[jax.Array] = None, ritz_iters: int = 10,
+    referee_loss_fn: Optional[Callable[[Any, Any], jax.Array]] = None,
 ) -> dict:
     """Measure the trainer's ``refresh_precision`` HVP fidelity at THESE
     params against an f32 referee (one batch, ~2×``ritz_iters`` HVPs).
@@ -517,6 +518,15 @@ def refresh_precision_probe(
     :class:`HostLayerwiseLanczosSGDTrainer` (the probe runs the FULL
     Hessian; per-leaf refresh fidelity is bounded by it since the masked
     HVP is the same program with a restriction).
+
+    ``referee_loss_fn``: REQUIRED when the low precision is baked into the
+    model itself (``--refresh_precision mixed`` / a model built with
+    ``block_matmul_precision``): the model's inner
+    ``jax.default_matmul_precision`` context overrides the referee's outer
+    'highest', so without a clean-model loss BOTH arms run bf16 blocks and
+    the probe falsely passes on exactly the mode it exists to catch.  The
+    train CLI rebuilds the model with ``block_matmul_precision=None`` for
+    this argument (mirroring spectrum ``--precision_check``).
     """
     from hessian_llm_vision_tpu.krylov.driver import matvec_precision_probe
 
@@ -525,5 +535,5 @@ def refresh_precision_probe(
     return matvec_precision_probe(
         trainer.loss_fn, params, batch, key=key,
         precision=trainer.refresh_precision, flattener=trainer.fl,
-        ritz_iters=ritz_iters,
+        ritz_iters=ritz_iters, referee_loss_fn=referee_loss_fn,
     )

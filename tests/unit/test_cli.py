@@ -708,7 +708,7 @@ def test_spectrum_cli_precision_check(tmp_path, capsys):
     ]
     spectrum.main(args + ["--host_loop", "--out_spectrum", out])
     out_text = capsys.readouterr().out
-    assert "[precision] extreme-Ritz rel err vs f32 referee" in out_text
+    assert "[precision] HVP extreme-Ritz rel err vs f32 referee" in out_text
     assert os.path.exists(out + ".npz")
 
     # mixed mode: the referee arm rebuilds the model without the baked-in
@@ -716,7 +716,7 @@ def test_spectrum_cli_precision_check(tmp_path, capsys):
     spectrum.main(args + ["--hvp_precision", "mixed",
                           "--precision_check_iters", "3"])
     captured = capsys.readouterr()
-    assert "[precision] extreme-Ritz rel err vs f32 referee (3 iters)" in captured.out
+    assert "[precision] HVP extreme-Ritz rel err vs f32 referee (3 iters)" in captured.out
     assert "WARNING" not in captured.err
 
     # loud-flags policy
@@ -725,6 +725,13 @@ def test_spectrum_cli_precision_check(tmp_path, capsys):
         spectrum.main([
             "--model", "spiral", "--lanczos_iters", "4",
             "--precision_check_iters", "3",
+        ])
+    with pytest.raises(SystemExit):  # iters must be >= 1 (ritz gate needs T)
+        spectrum.main(args + ["--precision_check_iters", "0"])
+    with pytest.raises(SystemExit):  # GGN runs a different matvec program
+        spectrum.main([
+            "--model", "spiral", "--operator", "ggn", "--lanczos_iters", "4",
+            "--batch_size", "30", "--precision_check",
         ])
 
 
@@ -745,6 +752,19 @@ def test_train_cli_precision_check(tmp_path, capsys):
     assert "[precision] refresh extreme-Ritz rel err vs f32 referee" in captured.out
     # CPU matmuls are f32 at every named precision: no warning
     assert "WARNING" not in captured.err
+
+    # the probe runs AFTER --resume_state (it must see the params training
+    # starts from) and mirrors the refresh batch plan under accumulation
+    state = str(tmp_path / "pstate")
+    train.main(common + ["--save_state", state])
+    capsys.readouterr()
+    loss_r = train.main(common + ["--resume_state", state,
+                                  "--refresh_batch_size", "2"])
+    assert np.isfinite(loss_r)
+    out_r = capsys.readouterr().out
+    resumed_at = out_r.index("resumed train state")
+    probe_at = out_r.index("[precision] refresh")
+    assert probe_at > resumed_at
 
     import pytest
     with pytest.raises(SystemExit):
