@@ -22,6 +22,14 @@ from hessian_llm_vision_tpu.parallel.param_sharding import (
 from hessian_llm_vision_tpu.parallel.probe_parallel import (
     probe_parallel_spectrum_host,
 )
+from hessian_llm_vision_tpu.parallel.pipeline import (
+    make_pipeline_mesh,
+    make_pipelined_lm_loss,
+    pipeline_apply,
+    pipeline_param_sharding,
+    stack_pipeline_params,
+    unstack_pipeline_params,
+)
 
 __all__ = [
     "make_mesh",
@@ -39,4 +47,10 @@ __all__ = [
     "seq_sharding",
     "seq_parallel_config",
     "probe_parallel_spectrum_host",
+    "make_pipeline_mesh",
+    "make_pipelined_lm_loss",
+    "pipeline_apply",
+    "pipeline_param_sharding",
+    "stack_pipeline_params",
+    "unstack_pipeline_params",
 ]
