@@ -63,6 +63,11 @@ class GPT2Config:
     # while the vocab-head matmul/log-softmax (the direct loss path) keeps
     # 3-pass precision.  See bench.py mixed-mode parity measurements.
     block_matmul_precision: str | None = None
+    # mixture-of-experts MLP: 0 = dense MLP (GPT-2 proper); E > 0 replaces
+    # every block's MLP with a softmax-gated dense MoE of E experts whose
+    # stacked (E, ...) weights shard over an 'ep' mesh axis — see
+    # models/moe.py (beyond-parity expert-parallel capability)
+    n_experts: int = 0
     # sequence-parallel residual stream: a jax Sharding for the (B, T, C)
     # activations, asserted after the embedding and after every block so
     # XLA's partitioner keeps the norm/MLP/loss regions sharded along T
@@ -135,9 +140,18 @@ class Block(nn.Module):
         x = x + CausalSelfAttention(cfg, name="attn")(
             nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln_1")(x), deterministic
         )
-        x = x + MLPBlock(cfg, name="mlp")(
-            nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln_2")(x), deterministic
-        )
+        if cfg.n_experts:
+            from hessian_llm_vision_tpu.models.moe import MoEMLP
+
+            x = x + MoEMLP(cfg, name="moe")(
+                nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln_2")(x),
+                deterministic,
+            )
+        else:
+            x = x + MLPBlock(cfg, name="mlp")(
+                nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln_2")(x),
+                deterministic,
+            )
         return x
 
 

@@ -1,0 +1,114 @@
+"""Mixture-of-experts MLP with expert-parallel sharding.
+
+The reference has no MoE anywhere in its tree (SURVEY.md §2.7 marks EP as
+absent) — this is a beyond-parity capability completing the framework's
+dp / tp / sp / pp / ep sharding vocabulary, and it exists for a
+curvature-specific reason: MoE loss landscapes are the one place the
+block-diagonal/layer-restricted operators (curvature/operators.py) meet
+genuinely modular parameter spaces, and the framework should be able to
+take their spectra.
+
+Design: DENSE softmax-gated MoE — every expert evaluates every token and
+the gate's softmax probabilities mix the outputs.  Deliberate choice over
+top-k routing:
+
+* smooth and twice-differentiable everywhere, so ``jvp(grad(loss))`` HVPs
+  are exact (top-k argmax routing has measure-zero kinks and
+  straight-through estimators corrupt curvature);
+* static shapes and no gather/scatter — the expert axis is just an einsum
+  contraction XLA tiles onto the MXU;
+* expert parallelism falls out of SPMD: stack expert weights on a leading
+  ``E`` axis, shard it over the ``ep`` mesh axis
+  (:func:`moe_param_sharding`), and the partitioner runs each device's
+  experts locally and psums the gate-weighted combine over ICI — the
+  standard EP data flow without hand-written all-to-alls.
+
+With all experts initialized identically the layer reduces EXACTLY to the
+dense MLP (softmax weights sum to 1) — pinned in
+tests/distributed/test_moe.py, which also pins ep-sharded == unsharded
+loss/grad/HVP to reduction-order tolerance.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+class MoEMLP(nn.Module):
+    """Softmax-gated dense-MoE drop-in for the transformer MLP.
+
+    ``config`` needs ``n_embd``, ``n_experts``, ``dtype`` (GPT2Config with
+    ``n_experts > 0``).  Expert weights are stacked ``(E, ...)`` leaves —
+    shard dim 0 over 'ep' via :func:`moe_param_sharding`.
+    """
+
+    config: object
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        cfg = self.config
+        E, C = cfg.n_experts, cfg.n_embd
+        F = 4 * C
+        gate = nn.Dense(E, dtype=cfg.dtype, name="gate")(x)  # (B, T, E)
+        probs = jax.nn.softmax(gate.astype(jnp.float32), axis=-1).astype(
+            x.dtype
+        )
+        init = nn.initializers.normal(0.02)
+        w1 = self.param("w1", init, (E, C, F), jnp.float32)
+        b1 = self.param("b1", nn.initializers.zeros, (E, F), jnp.float32)
+        w2 = self.param("w2", init, (E, F, C), jnp.float32)
+        b2 = self.param("b2", nn.initializers.zeros, (E, C), jnp.float32)
+        # per-expert MLP, expert axis e shards over 'ep'; the final
+        # gate-weighted combine contracts e => one psum over ICI
+        h = jnp.einsum("btc,ecf->btef", x, w1.astype(cfg.dtype)) + b1.astype(
+            cfg.dtype
+        )
+        h = nn.gelu(h, approximate=True)
+        y = jnp.einsum("btef,efc->btec", h, w2.astype(cfg.dtype)) + b2.astype(
+            cfg.dtype
+        )
+        return jnp.einsum("btec,bte->btc", y, probs)
+
+
+def moe_param_sharding(params, mesh: Mesh, *, ep_axis: str = "ep"):
+    """NamedSharding tree: expert-stacked MoE leaves (paths containing
+    ``moe/w1|w2|b1|b2``) shard dim 0 over ``ep_axis``; everything else
+    replicates.  Leaves whose expert count doesn't divide the axis size
+    fall back to replicated (tiny test configs on any mesh)."""
+    from hessian_llm_vision_tpu.utils.trees import _key_str
+
+    ep = mesh.shape[ep_axis]
+    paths, treedef = jax.tree_util.tree_flatten_with_path(params)
+    out = []
+    for path, leaf in paths:
+        name = "/".join(_key_str(k) for k in path)
+        expert_leaf = (
+            "/moe/" in f"/{name}" and name.rsplit("/", 1)[-1] in
+            ("w1", "w2", "b1", "b2")
+        )
+        if expert_leaf and leaf.shape[0] % ep == 0:
+            spec = P(*((ep_axis,) + (None,) * (leaf.ndim - 1)))
+        else:
+            spec = P()
+        out.append(NamedSharding(mesh, spec))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def shard_params_for_ep(params, mesh: Mesh, *, ep_axis: str = "ep"):
+    """device_put params with expert-parallel shardings over ``mesh``."""
+    return jax.device_put(params, moe_param_sharding(params, mesh, ep_axis=ep_axis))
+
+
+def make_ep_mesh(num_data: int, num_experts_axis: int, *, devices=None) -> Mesh:
+    """Mesh('data', 'ep'): batch axis x expert axis."""
+    import numpy as np
+
+    devs = list(devices) if devices is not None else jax.devices()
+    n = num_data * num_experts_axis
+    if n > len(devs):
+        raise ValueError(f"requested {n} devices, have {len(devs)}")
+    grid = np.asarray(devs[:n]).reshape(num_data, num_experts_axis)
+    return Mesh(grid, ("data", "ep"))

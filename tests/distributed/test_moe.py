@@ -1,0 +1,112 @@
+"""Mixture-of-experts MLP + expert parallelism: exactness on the mesh.
+
+``models/moe.py`` is a dense softmax-gated MoE (twice-differentiable, so
+HVPs are exact) whose stacked expert weights shard over an 'ep' mesh axis.
+Pins: (a) with identical experts the MoE block reduces EXACTLY to the
+dense MLP; (b) ep-sharded loss/grad/HVP match the unsharded model to
+reduction-order tolerance; (c) the curvature stack runs through a MoE
+model unchanged.  No reference counterpart (no MoE anywhere in its tree);
+beyond-parity scaling capability.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hessian_llm_vision_tpu.models import losses
+from hessian_llm_vision_tpu.models.gpt2 import GPT2Config, GPT2LMHead
+from hessian_llm_vision_tpu.models.moe import (
+    make_ep_mesh,
+    shard_params_for_ep,
+)
+
+T = 16
+E = 4
+
+
+def _moe_setup():
+    cfg = GPT2Config(
+        vocab_size=64, n_positions=T, n_embd=16, n_layer=2, n_head=2,
+        n_experts=E,
+    )
+    model = GPT2LMHead(cfg)
+    params = model.init_params(jax.random.PRNGKey(0), seq_len=T)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (8, T), 0, 64)
+    return cfg, model, params, {"input_ids": ids}
+
+
+def test_identical_experts_reduce_to_dense_mlp():
+    cfg, moe_model, moe_params, batch = _moe_setup()
+    dense_cfg = GPT2Config(
+        vocab_size=64, n_positions=T, n_embd=16, n_layer=2, n_head=2,
+    )
+    dense_model = GPT2LMHead(dense_cfg)
+    dense_params = dense_model.init_params(jax.random.PRNGKey(0), seq_len=T)
+
+    # copy the dense model into the MoE one: every expert gets the SAME
+    # MLP weights; softmax gate weights sum to 1, so the mixture must
+    # reproduce the dense block bit-for-bit in exact arithmetic
+    p = jax.tree.map(lambda x: x, moe_params)
+    for i in range(cfg.n_layer):
+        blk_d, blk_m = dense_params[f"h_{i}"], p[f"h_{i}"]
+        for k in ("attn", "ln_1", "ln_2"):
+            blk_m[k] = blk_d[k]
+        mlp = blk_d["mlp"]
+        blk_m["moe"]["w1"] = jnp.tile(mlp["c_fc"]["kernel"][None], (E, 1, 1))
+        blk_m["moe"]["b1"] = jnp.tile(mlp["c_fc"]["bias"][None], (E, 1))
+        blk_m["moe"]["w2"] = jnp.tile(mlp["c_proj"]["kernel"][None], (E, 1, 1))
+        blk_m["moe"]["b2"] = jnp.tile(mlp["c_proj"]["bias"][None], (E, 1))
+    for k in ("wte", "wpe", "ln_f"):
+        p[k] = dense_params[k]
+
+    l_dense = float(jax.jit(losses.lm_loss_fn(dense_model))(dense_params, batch))
+    l_moe = float(jax.jit(losses.lm_loss_fn(moe_model))(p, batch))
+    np.testing.assert_allclose(l_moe, l_dense, rtol=1e-6, atol=1e-6)
+
+
+def test_ep_sharded_loss_grad_hvp_match_unsharded():
+    cfg, model, params, batch = _moe_setup()
+    mesh = make_ep_mesh(2, 4)
+    sharded = shard_params_for_ep(params, mesh)
+    loss_fn = losses.lm_loss_fn(model)
+
+    l0 = float(jax.jit(loss_fn)(params, batch))
+    l1 = float(jax.jit(loss_fn)(sharded, batch))
+    np.testing.assert_allclose(l1, l0, rtol=1e-6, atol=1e-6)
+
+    g0 = jax.jit(jax.grad(loss_fn))(params, batch)
+    g1 = jax.jit(jax.grad(loss_fn))(sharded, batch)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+        )
+
+    v = jax.tree.map(
+        lambda a: jax.random.normal(jax.random.PRNGKey(7), a.shape, a.dtype),
+        params,
+    )
+
+    def hvp(p, t):
+        return jax.jvp(lambda q: jax.grad(loss_fn)(q, batch), (p,), (t,))[1]
+
+    h0 = jax.jit(hvp)(params, v)
+    h1 = jax.jit(hvp)(sharded, v)
+    for a, b in zip(jax.tree.leaves(h0), jax.tree.leaves(h1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3
+        )
+
+
+def test_moe_curvature_stack():
+    from hessian_llm_vision_tpu.curvature import HessianOperator
+    from hessian_llm_vision_tpu.krylov import lanczos
+    from hessian_llm_vision_tpu.krylov.slq import ritz_decomposition
+
+    cfg, model, params, batch = _moe_setup()
+    mesh = make_ep_mesh(2, 4)
+    sharded = shard_params_for_ep(params, mesh)
+    op = HessianOperator(losses.lm_loss_fn(model), sharded, batch)
+    res = lanczos(op.matvec, op.dim, 5, key=jax.random.PRNGKey(3))
+    spec = ritz_decomposition(res)
+    assert np.isfinite(np.asarray(spec.eigvals)).all()
+    assert np.isfinite(np.asarray(spec.gammas)).all()
