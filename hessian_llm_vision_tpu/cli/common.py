@@ -156,6 +156,14 @@ def build_workload(args) -> Workload:
     attn_blk = getattr(args, "attn_block_q", None)
     loss_chunk = getattr(args, "loss_chunk", None)
     block_prec = getattr(args, "block_precision", None)
+    experts = getattr(args, "experts", 0) or 0
+
+    # --experts swaps the GPT-2 MLPs for the dense-gated MoE (models/moe.py)
+    if experts and not name.startswith("gpt2"):
+        raise SystemExit(
+            "--experts applies to the gpt2 family only; "
+            f"model {name!r} has no MoE variant"
+        )
 
     # LM-only knobs must not silently no-op on vision/spiral models (the
     # loud-flags policy: a user asking for the mixed curvature mode or the
@@ -178,15 +186,21 @@ def build_workload(args) -> Workload:
             )
 
     if name.startswith("gpt2"):
-        cfg = (
-            GPT2Config.tiny(n_positions=max(64, args.max_length))
-            if name == "gpt2-tiny"
-            else GPT2Config.gpt2_124m(
+        if name == "gpt2-tiny":
+            cfg = GPT2Config.tiny(n_positions=max(64, args.max_length))
+        elif name == "gpt2-moe":
+            cfg = GPT2Config.moe_80m(
                 n_positions=max(args.max_length, 32),
                 dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
             )
-        )
+        else:
+            cfg = GPT2Config.gpt2_124m(
+                n_positions=max(args.max_length, 32),
+                dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+            )
         cfg = _cfg_overrides(cfg, attn_blk, block_prec)
+        if experts:
+            cfg = dataclasses.replace(cfg, n_experts=experts)
         model = GPT2LMHead(cfg)
         params = model.init_params(key, seq_len=min(16, args.max_length))
         if args.checkpoint:
@@ -424,7 +438,7 @@ def add_common_args(parser) -> None:
     """Flag names follow the reference argparse surface
     (accum.py:15-28, gpt2_savehessian.py:12-19, train_savespec.py:23-42)."""
     parser.add_argument("--model", default="gpt2-tiny",
-                        help="gpt2 | gpt2-tiny | pythia-70m | pythia-160m | "
+                        help="gpt2 | gpt2-tiny | gpt2-moe | pythia-70m | pythia-160m | "
                         "pythia-1.4b | llama-tiny | llama-micro | llama-134m | llama-7b | "
                         "spiral | simplenet | vgg16 | resnet50")
     parser.add_argument("--dataset", default="random",
@@ -457,6 +471,11 @@ def add_common_args(parser) -> None:
     parser.add_argument("--loss_chunk", type=int, default=None,
                         help="chunked-vocab LM loss: never materialize the "
                         "(B,T,V) logits; chunk size in sequence positions")
+    parser.add_argument("--experts", type=int, default=0,
+                        help="gpt2 family only: replace every block's MLP "
+                        "with a dense softmax-gated MoE of this many "
+                        "experts (models/moe.py; expert weights shard over "
+                        "an 'ep' mesh axis on multi-chip)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--data_seed", type=int, default=42)
     parser.add_argument("--checkpoint", default=None)

@@ -85,6 +85,16 @@ class GPT2Config:
         return dataclasses.replace(GPT2Config(), **overrides)
 
     @staticmethod
+    def moe_80m(**overrides) -> "GPT2Config":
+        """MoE capstone config: 384h/6L/6H, 8 experts per block
+        (models/moe.py) — the expert-parallel family's at-scale workload
+        (~80M params (79,787,184), MoE weights dominating)."""
+        base = GPT2Config(
+            n_embd=384, n_layer=6, n_head=6, n_positions=512, n_experts=8
+        )
+        return dataclasses.replace(base, **overrides)
+
+    @staticmethod
     def tiny(**overrides) -> "GPT2Config":
         """Test-scale config (used across the test suite)."""
         base = GPT2Config(
@@ -211,11 +221,15 @@ class GPT2LMHead(nn.Module):
 
 
 def num_params(config: GPT2Config) -> int:
-    """Closed-form parameter count (sanity against 124M)."""
+    """Closed-form parameter count (sanity against 124M / the MoE config)."""
     c, v, p, l = config.n_embd, config.vocab_size, config.n_positions, config.n_layer
-    per_block = (3 * c * c + 3 * c) + (c * c + c) + (4 * c * c + 4 * c) + (
-        4 * c * c + c
-    ) + 4 * c
+    attn = (3 * c * c + 3 * c) + (c * c + c)
+    if config.n_experts:
+        e, f = config.n_experts, 4 * c
+        mlp = (c * e + e) + e * ((c * f + f) + (f * c + c))  # gate + experts
+    else:
+        mlp = (4 * c * c + 4 * c) + (4 * c * c + c)
+    per_block = attn + mlp + 4 * c
     total = v * c + p * c + l * per_block + 2 * c
     if not config.tie_word_embeddings:
         total += v * c

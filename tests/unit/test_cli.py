@@ -772,3 +772,23 @@ def test_train_cli_precision_check(tmp_path, capsys):
             "--model", "spiral", "--optimiser", "adam", "--epochs", "1",
             "--precision_check", "--out", str(tmp_path / "runs2"),
         ])
+
+
+def test_spectrum_cli_moe(tmp_path, capsys):
+    """--experts / gpt2-moe: MoE spectra from the CLI (models/moe.py)."""
+    from hessian_llm_vision_tpu.cli import spectrum
+
+    out = str(tmp_path / "moespec")
+    spectrum.main([
+        "--model", "gpt2-tiny", "--experts", "4", "--lanczos_iters", "4",
+        "--batch_size", "2", "--num_batches", "1", "--max_length", "16",
+        "--out_spectrum", out,
+    ])
+    assert os.path.exists(out + ".npz")
+    assert "lambda_max" in capsys.readouterr().out
+
+    # loud-flags policy: --experts on a non-gpt2 model is an error
+    with pytest.raises(SystemExit):
+        spectrum.main([
+            "--model", "spiral", "--experts", "4", "--lanczos_iters", "2",
+        ])
