@@ -192,8 +192,10 @@ def pipeline_apply(
         (_, outputs), _ = jax.lax.scan(
             tick, (state, outputs), jnp.arange(M + S - 1)
         )
-        if S > 1:
-            outputs = jax.lax.psum(outputs, pp_axis)
+        # psum unconditionally: over a size-1 pp axis it is an identity that
+        # re-establishes replication, which the out_specs VMA check requires
+        # (the pcast above made outputs pp-varying even when S == 1).
+        outputs = jax.lax.psum(outputs, pp_axis)
         return outputs
 
     return run(stage_params, xm)
@@ -219,18 +221,37 @@ def make_pipelined_lm_loss(
     ``loss_fn(params, batch)`` contract, so HessianOperator / Lanczos /
     LanczosSGD compose with it unchanged.
     """
+    import contextlib
+
     import flax.linen as nn
 
     from hessian_llm_vision_tpu.models.gpt2 import Block
 
     cfg = model.config
+    if cfg.seq_sharding is not None:
+        # The shard_map'd pipeline region fixes the activation layout itself
+        # (microbatch rotation over pp); a seq-sharded residual stream cannot
+        # be asserted inside it, so refuse loudly rather than silently
+        # computing with a different layout than models/gpt2.py:190-199.
+        raise ValueError(
+            "make_pipelined_lm_loss does not support cfg.seq_sharding; "
+            "use the sequential model (models/gpt2.py) for seq-parallel runs"
+        )
     block = Block(cfg)
+
+    def _precision_ctx():
+        # Match models/gpt2.py:191-195: the block stack (and, here, the whole
+        # staged computation) honors cfg.block_matmul_precision.
+        if cfg.block_matmul_precision is not None:
+            return jax.default_matmul_precision(cfg.block_matmul_precision)
+        return contextlib.nullcontext()
 
     def stage_fn(bp, x):
         def body(h, p):
             return block.apply({"params": p}, h), None
 
-        h, _ = jax.lax.scan(body, x, bp)
+        with _precision_ctx():
+            h, _ = jax.lax.scan(body, x, bp)
         return h
 
     def loss(pipe_params, batch):

@@ -64,8 +64,18 @@ def test_stack_unstack_roundtrip():
 
 @pytest.mark.parametrize(
     "num_data,num_stages,data_axis,microbatches",
-    [(1, 4, None, 4), (1, 2, None, 2), (2, 2, "data", 4), (2, 4, "data", 2)],
-    ids=["pp4", "pp2", "dp2xpp2", "dp2xpp4"],
+    [
+        (1, 4, None, 4),
+        (1, 2, None, 2),
+        (2, 2, "data", 4),
+        (2, 4, "data", 2),
+        # pp=1 degenerate pipeline: the dryrun fallback for odd device
+        # counts (__graft_entry__.py) — psum over the size-1 axis must
+        # re-establish replication for the out_specs VMA check
+        (1, 1, None, 4),
+        (2, 1, "data", 2),
+    ],
+    ids=["pp4", "pp2", "dp2xpp2", "dp2xpp4", "pp1", "dp2xpp1"],
 )
 def test_pipelined_loss_grad_hvp_exact(num_data, num_stages, data_axis, microbatches):
     cfg, model, params, batch = _setup()
@@ -105,6 +115,31 @@ def test_pipelined_loss_grad_hvp_exact(num_data, num_stages, data_axis, microbat
     h_plain = jax.jit(lambda p: hvp(plain_loss, p, v))(params)
     h_pipe = jax.jit(lambda p: hvp(pipe_loss, p, v_pipe))(pipe_params)
     _tree_allclose(h_plain, unstack_pipeline_params(h_pipe), rtol=2e-3, atol=2e-3)
+
+
+def test_pipelined_loss_honors_block_matmul_precision():
+    """cfg.block_matmul_precision wraps the staged block stack (and the
+    sequential model wraps its blocks identically, gpt2.py:191-195), so the
+    two paths must still agree exactly; seq_sharding is refused loudly."""
+    import dataclasses
+
+    cfg, model, params, batch = _setup()
+    cfg_p = dataclasses.replace(cfg, block_matmul_precision="high")
+    model_p = GPT2LMHead(cfg_p)
+    mesh = make_pipeline_mesh(1, 2)
+    pipe_params = stack_pipeline_params(params, L, 2)
+    pipe_loss = make_pipelined_lm_loss(model_p, mesh, num_microbatches=4)
+    l_pipe = jax.jit(pipe_loss)(pipe_params, batch)
+    l_plain = jax.jit(losses.lm_loss_fn(model_p))(params, batch)
+    np.testing.assert_allclose(float(l_plain), float(l_pipe), rtol=1e-6, atol=1e-6)
+
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    cfg_s = dataclasses.replace(
+        cfg, seq_sharding=NamedSharding(mesh, PartitionSpec())
+    )
+    with pytest.raises(ValueError, match="seq_sharding"):
+        make_pipelined_lm_loss(GPT2LMHead(cfg_s), mesh, num_microbatches=4)
 
 
 def test_pipelined_loss_composes_with_curvature_stack():
