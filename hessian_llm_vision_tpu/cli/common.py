@@ -540,6 +540,89 @@ def report_precision_probe(stats: dict, iters: int, *, what: str,
         )
 
 
+def lm_loss_factory(wl: Workload, args) -> Optional[Callable]:
+    """``make_loss_fn(block_spec)`` for the auto-precision planner.
+
+    Rebuilds ONLY the model (with ``block_matmul_precision=block_spec``)
+    and its loss closure, reusing the workload's params/batches — the
+    planner probes several arms and must not re-load checkpoints/data per
+    arm.  Returns None when the model has no block-precision surface
+    (vision/MLP families).
+    """
+    cfg = getattr(wl.model, "config", None)
+    if cfg is None or not hasattr(cfg, "block_matmul_precision"):
+        return None
+    from hessian_llm_vision_tpu.models import losses
+
+    model_cls = type(wl.model)
+    loss_chunk = getattr(args, "loss_chunk", None)
+
+    def make_loss_fn(spec):
+        m = model_cls(dataclasses.replace(cfg, block_matmul_precision=spec))
+        return losses.lm_loss_fn(m, loss_chunk=loss_chunk)
+
+    return make_loss_fn
+
+
+def resolve_auto_precision(args, wl: Workload, attr: str = "hvp_precision",
+                           *, tol: float = 1e-3) -> Workload:
+    """Expand ``--<attr> auto`` by probing the checkpoint (krylov/autoprec).
+
+    Probes the actual params/batch in escalating block-precision arms
+    against an f32 referee and resolves ``args.<attr>`` +
+    ``args.block_precision`` to the FASTEST configuration meeting the
+    1e-3 extreme-Ritz parity bar — fast 'mixed' where it is safe (random
+    init), prefix-escalated or strict where the checkpoint demands it
+    (trained ckpts inflate mixed λmax 5.8×, artifacts/trained124m_r3).
+    Returns the workload with its loss rebuilt per the plan.  No-op when
+    ``args.<attr> != 'auto'``.
+    """
+    if getattr(args, attr, None) != "auto":
+        return wl
+    if getattr(args, "block_precision", None):
+        raise SystemExit(
+            f"--block_precision conflicts with --{attr} auto (auto CHOOSES "
+            "the block precisions; pin --hvp_precision high/mixed/default "
+            "to combine with an explicit --block_precision)"
+        )
+    factory = lm_loss_factory(wl, args)
+    if factory is None or getattr(args, "operator", "hessian") != "hessian":
+        why = (
+            "non-LM model: no transformer-block precision surface"
+            if factory is None
+            else f"--operator {args.operator}: the probe gates the Hessian "
+            "program only"
+        )
+        print(f"[auto-precision] {why}; resolving to 'high'")
+        setattr(args, attr, "high")
+        return wl
+    from hessian_llm_vision_tpu.krylov import auto_precision_plan
+
+    cfg = wl.model.config
+    n_layers = getattr(cfg, "n_layer", None) or cfg.num_layers
+    plan = auto_precision_plan(
+        factory,
+        wl.params,
+        wl.batches[0],
+        n_layers,
+        key=jax.random.PRNGKey(getattr(args, "vector_seed", 0) + 101),
+        tol=tol,
+        ritz_iters=getattr(args, "precision_check_iters", 10),
+        log=print,
+    )
+    print(plan.describe())
+    setattr(args, attr, plan.hvp_precision)
+    args.block_precision = plan.block_precision
+    new_model = type(wl.model)(
+        dataclasses.replace(cfg, block_matmul_precision=plan.block_precision)
+    )
+    return dataclasses.replace(
+        wl,
+        model=new_model,
+        loss_fn=factory(plan.block_precision),
+    )
+
+
 def referee_loss_fn_for(args):
     """A clean-model loss for the f32 referee arm of --precision_check.
 

@@ -157,14 +157,20 @@ def build_parser() -> argparse.ArgumentParser:
                    "regimes cleanly (init mixed 7.3e-4 PASS vs trained "
                    "5.3e-1 FAIL), 5 iters is under-converged and false-"
                    "positives marginally (init 2.1e-3)")
-    p.add_argument("--hvp_precision", default="high",
-                   choices=["high", "highest", "default", "mixed"],
+    p.add_argument("--hvp_precision", default="auto",
+                   choices=["auto", "high", "highest", "default", "mixed"],
                    help="matmul precision under the curvature trace "
-                   "(host-loop paths): 'high' (bf16x3) is the parity-grade "
-                   "default; 'default' (1 bf16 MXU pass) is measured 1.68x "
-                   "faster at ~1e-3 extreme-Ritz error; 'mixed' keeps the "
-                   "embedding/vocab-head path at 'high' but runs the "
-                   "transformer blocks at 'default' (LM models only)")
+                   "(host-loop paths). 'auto' (default) probes THIS "
+                   "checkpoint: short Lanczos arms vs an f32 referee, "
+                   "escalating transformer-block precision front-to-back "
+                   "until the extreme-Ritz error meets the 1e-3 parity "
+                   "bar (krylov/autoprec.py; adds ~6x10 probe HVPs + one "
+                   "compile per new arm, cached). 'high' (bf16x3) is the "
+                   "parity-grade strict mode; 'default' (1 bf16 MXU pass) "
+                   "is 1.68x faster at ~2e-3 error; 'mixed' pins blocks "
+                   "'default' + vocab head 'high' (LM models only; SAFE "
+                   "AT INIT ONLY — trained ckpts inflate lambda_max 5.8x, "
+                   "which is why 'auto' exists)")
     p.add_argument("--out_spectrum", default=None)
     p.add_argument("--plot", default=None, help="save stem/density plot PNG")
     p.add_argument("--compare_to", default=None,
@@ -350,9 +356,18 @@ def main(argv=None):
         raise SystemExit(
             "--precision_check_iters has no effect without --precision_check"
         )
+    if args.precision_check and args.precision_check_iters < 1:
+        raise SystemExit("--precision_check_iters must be >= 1")
+
+    # --hvp_precision auto (the default): probe this checkpoint, escalate
+    # only the blocks that own the error, resolve to a concrete precision
+    # plan.  Runs AFTER the flag validations so bad flag combos error
+    # before any probe compiles.
+    from hessian_llm_vision_tpu.cli.common import resolve_auto_precision
+
+    wl = resolve_auto_precision(args, wl)
+
     if args.precision_check:
-        if args.precision_check_iters < 1:
-            raise SystemExit("--precision_check_iters must be >= 1")
         if args.operator != "hessian":
             # the probe gates the HESSIAN matvec program; a GGN/Fisher job
             # runs a different jvp/vjp program with its own precision

@@ -28,6 +28,13 @@ from hessian_llm_vision_tpu.krylov.thick_restart import (
     lanczos_thick_restart,
     ThickRestartResult,
 )
+from hessian_llm_vision_tpu.krylov.autoprec import (
+    AutoPrecisionPlan,
+    PrecisionArm,
+    auto_precision_plan,
+    escalation_prefixes,
+    prefix_block_spec,
+)
 from hessian_llm_vision_tpu.krylov.power import power_iteration
 from hessian_llm_vision_tpu.krylov.cg import cg_solve
 from hessian_llm_vision_tpu.krylov.trace import hutchinson_trace, hutchpp_trace
@@ -51,6 +58,12 @@ __all__ = [
     "lanczos_host_basis",
     "dataset_spectrum_host",
     "layerwise_spectrum_host",
+    "AutoPrecisionPlan",
+    "PrecisionArm",
+    "auto_precision_plan",
+    "escalation_prefixes",
+    "prefix_block_spec",
+    "matvec_precision_probe",
     "ritz_decomposition",
     "ritz_vectors",
     "trace_estimate",

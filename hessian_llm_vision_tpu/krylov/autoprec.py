@@ -1,0 +1,263 @@
+"""Auto precision: probe the checkpoint, escalate only the blocks that
+need it, fall back to strict — per run, not per model.
+
+Low-precision curvature error is CHECKPOINT-DEPENDENT (see
+``krylov.driver.matvec_precision_probe``): the "mixed" mode (all
+transformer blocks 1-pass bf16, vocab head + loss bf16x3) passes the
+1e-3 extreme-Ritz parity bar at random init yet inflates λmax 5.8× on
+the same GPT-2 124M after 2000 Adam steps
+(artifacts/trained124m_r3/README.md).  The per-block sweep of that
+checkpoint shows WHY the failure is structured: trained curvature is
+depth-ordered and embedding-dominated — wte/wpe block spectra reach
+±5.9e5, h_0 reaches ±7.6e4, while blocks h_4..h_11 stay O(1)-O(10).
+Extreme Hessian eigenvectors therefore route through the EARLY blocks'
+matmuls, whose bf16 rounding (relative error ~2^-8 of operands carrying
+10^5-scale curvature) corrupts the Krylov recurrence; the late blocks'
+contributions are 10^4-10^5× smaller and tolerate 1-pass bf16 at any
+checkpoint.
+
+This module turns that structure into a plan: probe a short T-only
+Lanczos in each candidate mode against an f32 ("highest") referee and
+pick the FASTEST candidate whose extreme-Ritz error meets the bar,
+escalating block precision front-to-back:
+
+    mixed  →  h_0 high  →  h_0..h_1 high  →  h_0..h_2 high
+           →  h_0..h_{L/2-1} high  →  all blocks high (strict)
+
+Cost: ``ritz_iters`` HVPs per arm plus one compile per NEW precision
+configuration (compiles persist in the jax compilation cache, so reruns
+on the same checkpoint shape pay only the HVP probes).  The probe runs
+on ONE batch (the ``--precision_check`` convention): the dataset-mean
+operator is a convex combination of per-batch Hessians, so a per-batch
+precision failure is the same failure the averaged operator sees.
+
+Reference role: none — the reference's CUDA matmuls are f32-native and
+never faced this choice (SURVEY.md §2.6); on TPU the bf16 speed tiers
+make precision a measured, per-checkpoint decision, and this module is
+what makes the FAST tier safe to default to (``--hvp_precision auto``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hessian_llm_vision_tpu.utils.flatten import Flattener
+
+BlockSpec = Union[None, str, Tuple[Optional[str], ...]]
+
+
+@dataclasses.dataclass(frozen=True)
+class PrecisionArm:
+    """One probed candidate."""
+
+    label: str
+    block_precision: BlockSpec  # spec handed to the model builder
+    hvp_precision: str  # outer jax.default_matmul_precision
+    ritz_rel_err: float  # worst extreme-Ritz rel err vs referee
+    seconds_per_hvp: float  # steady-state, this chip, probe batch
+    extremes: Tuple[float, float]  # (λmin, λmax) estimates
+
+
+@dataclasses.dataclass(frozen=True)
+class AutoPrecisionPlan:
+    """The chosen configuration + the evidence for it."""
+
+    block_precision: BlockSpec
+    hvp_precision: str
+    label: str
+    ritz_rel_err: float
+    referee_extremes: Tuple[float, float]
+    arms: Tuple[PrecisionArm, ...]  # every candidate probed, in order
+
+    def describe(self) -> str:
+        lines = [
+            f"auto precision plan: {self.label} "
+            f"(extreme-Ritz err {self.ritz_rel_err:.2e} vs f32 referee)"
+        ]
+        for a in self.arms:
+            lines.append(
+                f"  probed {a.label}: err {a.ritz_rel_err:.2e}, "
+                f"{a.seconds_per_hvp * 1e3:.0f} ms/HVP"
+            )
+        return "\n".join(lines)
+
+
+def escalation_prefixes(n_layers: int) -> Tuple[int, ...]:
+    """Escalation ladder: 0 (pure mixed), then 1, 2, 3, then half-depth.
+
+    Front-to-back prefixes because trained curvature is depth-ordered
+    (module docstring); the full-depth rung is the strict fallback
+    handled separately by :func:`auto_precision_plan`.
+    """
+    cand = [0, 1, 2, 3, max(1, n_layers // 2)]
+    out: List[int] = []
+    for c in cand:
+        c = min(c, n_layers)
+        if c not in out and c < n_layers:
+            out.append(c)
+    return tuple(out)
+
+
+def prefix_block_spec(
+    n_layers: int, n_high: int, *, escalate: str = "high",
+    fast: str = "default",
+) -> BlockSpec:
+    """Per-block spec: first ``n_high`` blocks escalated, rest fast."""
+    if n_high <= 0:
+        return fast
+    if n_high >= n_layers:
+        return escalate
+    return tuple([escalate] * n_high + [fast] * (n_layers - n_high))
+
+
+def _probe_arm(
+    batch_hvp, v0, params, batch, ritz_iters: int
+) -> Tuple[Tuple[float, float], float]:
+    """(extremes, steady seconds/HVP) for one candidate's cached program."""
+    from hessian_llm_vision_tpu.krylov.driver import _tiny_lanczos_extremes
+
+    # warm the program so the timed recurrence is steady-state (remote
+    # compiles are minutes; they must not pollute the speed comparison)
+    batch_hvp(v0, params, batch).block_until_ready()
+    t0 = time.perf_counter()
+    extremes = _tiny_lanczos_extremes(batch_hvp, v0, params, batch, ritz_iters)
+    dt = (time.perf_counter() - t0) / max(ritz_iters, 1)
+    return extremes, dt
+
+
+def auto_precision_plan(
+    make_loss_fn: Callable[[BlockSpec], Callable[[Any, Any], jax.Array]],
+    params: Any,
+    batch: Any,
+    n_layers: int,
+    *,
+    key: Optional[jax.Array] = None,
+    vector: Optional[jax.Array] = None,
+    flattener: Optional[Flattener] = None,
+    tol: float = 1e-3,
+    ritz_iters: int = 8,
+    outer_precision: str = "high",
+    referee_precision: str = "highest",
+    escalate: str = "high",
+    fast: str = "default",
+    prefixes: Optional[Sequence[int]] = None,
+    log: Optional[Callable[[str], None]] = None,
+) -> AutoPrecisionPlan:
+    """Pick the fastest precision configuration meeting the parity bar.
+
+    ``make_loss_fn(block_spec)`` must return the loss closure for a model
+    rebuilt with ``block_matmul_precision=block_spec`` (``None`` = inherit
+    outer precision everywhere — the referee/strict arm).  The returned
+    plan's ``block_precision``/``hvp_precision`` feed straight back into
+    the model config and the spectrum driver.
+
+    Decision rule: walk the escalation ladder front-to-back and return the
+    FIRST arm whose worst extreme-Ritz relative error vs the f32 referee
+    is ≤ ``tol`` (the ladder is ordered fastest-first, so first-passing =
+    fastest-passing up to per-arm timing noise); fall back to uniform
+    ``escalate`` blocks (strict mode, measured ≤2e-5 at 124M) if no
+    prefix passes, and to the referee's own precision as the last resort.
+    """
+    from hessian_llm_vision_tpu.krylov.driver import _jitted_batch_hvp
+
+    if ritz_iters < 1:
+        raise ValueError("ritz_iters must be >= 1")
+    say = log or (lambda s: None)
+    fl = flattener or Flattener(params)
+    if (vector is None) == (key is None):
+        raise ValueError("pass exactly one of vector / key")
+    if vector is None:
+        vector = jax.random.normal(key, (fl.size,), jnp.float32)
+    v0 = vector.astype(jnp.float32)
+    v0 = v0 / jnp.maximum(jnp.linalg.norm(v0), 1e-30)
+
+    # referee arm: strict f32 (6-pass) matmuls end to end
+    ref_hvp = _jitted_batch_hvp(
+        make_loss_fn(None), "mean", referee_precision, fl
+    )
+    ref_ext, ref_dt = _probe_arm(ref_hvp, v0, params, batch, ritz_iters)
+    scale = max(abs(ref_ext[0]), abs(ref_ext[1]), 1e-30)
+    say(
+        f"[auto-precision] referee ({referee_precision}): "
+        f"extremes ({ref_ext[0]:.4g}, {ref_ext[1]:.4g}), "
+        f"{ref_dt * 1e3:.0f} ms/HVP"
+    )
+
+    def err_of(ext: Tuple[float, float]) -> float:
+        return max(abs(ext[0] - ref_ext[0]), abs(ext[1] - ref_ext[1])) / scale
+
+    arms: List[PrecisionArm] = []
+
+    def try_arm(label: str, spec: BlockSpec, hvp_prec: str) -> PrecisionArm:
+        hvp = _jitted_batch_hvp(make_loss_fn(spec), "mean", hvp_prec, fl)
+        ext, dt = _probe_arm(hvp, v0, params, batch, ritz_iters)
+        arm = PrecisionArm(
+            label=label,
+            block_precision=spec,
+            hvp_precision=hvp_prec,
+            ritz_rel_err=err_of(ext),
+            seconds_per_hvp=dt,
+            extremes=ext,
+        )
+        arms.append(arm)
+        say(
+            f"[auto-precision] {label}: err {arm.ritz_rel_err:.2e}, "
+            f"{dt * 1e3:.0f} ms/HVP"
+            + (" -> PASS" if arm.ritz_rel_err <= tol else "")
+        )
+        return arm
+
+    ladder = (
+        escalation_prefixes(n_layers) if prefixes is None
+        else tuple(prefixes)
+    )
+    for n_high in ladder:
+        label = (
+            "mixed (all blocks 1-pass bf16)" if n_high == 0
+            else f"mixed+escalate[h_0..h_{n_high - 1}]"
+        )
+        spec = prefix_block_spec(
+            n_layers, n_high, escalate=escalate, fast=fast
+        )
+        arm = try_arm(label, spec, outer_precision)
+        if arm.ritz_rel_err <= tol:
+            return AutoPrecisionPlan(
+                block_precision=arm.block_precision,
+                hvp_precision=arm.hvp_precision,
+                label=arm.label,
+                ritz_rel_err=arm.ritz_rel_err,
+                referee_extremes=ref_ext,
+                arms=tuple(arms),
+            )
+
+    # strict fallback: every block escalated, outer precision unchanged
+    arm = try_arm(f"strict (all blocks {escalate})", None, outer_precision)
+    if arm.ritz_rel_err <= tol:
+        return AutoPrecisionPlan(
+            block_precision=None,
+            hvp_precision=outer_precision,
+            label=arm.label,
+            ritz_rel_err=arm.ritz_rel_err,
+            referee_extremes=ref_ext,
+            arms=tuple(arms),
+        )
+
+    # last resort: the referee's own precision (err 0 by definition)
+    say(
+        "[auto-precision] even strict blocks failed the bar; "
+        f"falling back to {referee_precision}"
+    )
+    return AutoPrecisionPlan(
+        block_precision=None,
+        hvp_precision=referee_precision,
+        label=f"referee fallback ({referee_precision})",
+        ritz_rel_err=0.0,
+        referee_extremes=ref_ext,
+        arms=tuple(arms),
+    )

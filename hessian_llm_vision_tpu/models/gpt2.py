@@ -26,6 +26,10 @@ import jax
 import jax.numpy as jnp
 
 from hessian_llm_vision_tpu.models.attention import causal_attention
+from hessian_llm_vision_tpu.models.precision import (
+    per_layer_precision,
+    precision_scope,
+)
 
 
 def maybe_constrain(x, sharding):
@@ -62,7 +66,11 @@ class GPT2Config:
     # their rounding error is damped by the residual stream + layernorms,
     # while the vocab-head matmul/log-softmax (the direct loss path) keeps
     # 3-pass precision.  See bench.py mixed-mode parity measurements.
-    block_matmul_precision: str | None = None
+    # Also accepts an n_layer tuple of per-block precisions — the
+    # auto-precision escalation surface (models/precision.py,
+    # krylov/autoprec.py): trained checkpoints need only the sharp EARLY
+    # blocks escalated to "high" while late blocks keep 1-pass bf16.
+    block_matmul_precision: str | tuple | None = None
     # mixture-of-experts MLP: 0 = dense MLP (GPT-2 proper); E > 0 replaces
     # every block's MLP with a softmax-gated dense MoE of E experts whose
     # stacked (E, ...) weights shard over an 'ep' mesh axis — see
@@ -188,15 +196,11 @@ class GPT2LMHead(nn.Module):
         )
         x = wte[input_ids].astype(cfg.dtype) + wpe[:T][None].astype(cfg.dtype)
         x = maybe_constrain(x, cfg.seq_sharding)
-        if cfg.block_matmul_precision is not None:
-            with jax.default_matmul_precision(cfg.block_matmul_precision):
-                for i in range(cfg.n_layer):
-                    x = Block(cfg, name=f"h_{i}")(x, deterministic)
-                    x = maybe_constrain(x, cfg.seq_sharding)
-        else:
-            for i in range(cfg.n_layer):
+        per_prec = per_layer_precision(cfg.block_matmul_precision, cfg.n_layer)
+        for i in range(cfg.n_layer):
+            with precision_scope(per_prec[i]):
                 x = Block(cfg, name=f"h_{i}")(x, deterministic)
-                x = maybe_constrain(x, cfg.seq_sharding)
+            x = maybe_constrain(x, cfg.seq_sharding)
         x = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln_f")(x)
         if return_hidden:
             # final pre-logit hidden states; combine with output_kernel()

@@ -23,6 +23,10 @@ import jax
 import jax.numpy as jnp
 
 from hessian_llm_vision_tpu.models.gpt2 import maybe_constrain
+from hessian_llm_vision_tpu.models.precision import (
+    per_layer_precision,
+    precision_scope,
+)
 from hessian_llm_vision_tpu.models.attention import causal_attention
 
 
@@ -201,15 +205,13 @@ class LlamaLMHead(nn.Module):
         )
         x = emb[input_ids].astype(cfg.dtype)
         x = maybe_constrain(x, cfg.seq_sharding)
-        if cfg.block_matmul_precision is not None:
-            with jax.default_matmul_precision(cfg.block_matmul_precision):
-                for i in range(cfg.num_layers):
-                    x = LlamaBlock(cfg, name=f"layer_{i}")(x)
-                    x = maybe_constrain(x, cfg.seq_sharding)
-        else:
-            for i in range(cfg.num_layers):
+        per_prec = per_layer_precision(
+            cfg.block_matmul_precision, cfg.num_layers
+        )
+        for i in range(cfg.num_layers):
+            with precision_scope(per_prec[i]):
                 x = LlamaBlock(cfg, name=f"layer_{i}")(x)
-                x = maybe_constrain(x, cfg.seq_sharding)
+            x = maybe_constrain(x, cfg.seq_sharding)
         x = RMSNorm(cfg.rms_eps, cfg.dtype, name="norm")(x)
         if return_hidden:
             return x

@@ -239,11 +239,17 @@ def make_pipelined_lm_loss(
         )
     block = Block(cfg)
 
+    from hessian_llm_vision_tpu.models.precision import uniform_precision
+
+    # uniform_precision raises on a per-layer tuple: one Block program scans
+    # over all stages here, so per-block precision cannot be expressed.
+    _block_prec = uniform_precision(cfg.block_matmul_precision)
+
     def _precision_ctx():
-        # Match models/gpt2.py:191-195: the block stack (and, here, the whole
+        # Match models/gpt2.py: the block stack (and, here, the whole
         # staged computation) honors cfg.block_matmul_precision.
-        if cfg.block_matmul_precision is not None:
-            return jax.default_matmul_precision(cfg.block_matmul_precision)
+        if _block_prec is not None:
+            return jax.default_matmul_precision(_block_prec)
         return contextlib.nullcontext()
 
     def stage_fn(bp, x):
