@@ -30,6 +30,11 @@ class Workload:
     # out_loss_fn(outputs, batch)->scalar (loss_fn == out_loss_fn(model_fn))
     model_fn: Optional[Callable] = None
     out_loss_fn: Optional[Callable] = None
+    # per-epoch stochastic data: make_batches(epoch) -> fresh batch list
+    # (vision --augment/--noise redraw crops/flips/noise per epoch, the
+    # reference's torchvision-transform semantics, train_savespec.py:46-55;
+    # epoch 0 == wl.batches so curvature jobs see a fixed dataset)
+    make_batches: Optional[Callable[[int], list]] = None
 
 
 def _lm_batches(args, vocab_size) -> list:
@@ -399,13 +404,26 @@ def build_workload(args) -> Workload:
             y = yb.reshape(-1)
             num_classes = 10
         # reference transforms: --augment (RandomCrop+flip) / --noise
-        # (AddGaussianNoise), train_savespec.py:23-55
-        if getattr(args, "augment", False):
-            x = augment_batch(np.asarray(x), seed=args.data_seed)
-        if getattr(args, "noise", 0.0):
-            x = add_gaussian_noise(
-                np.asarray(x), std=args.noise, seed=args.data_seed
-            )
+        # (AddGaussianNoise), train_savespec.py:23-55.  The reference
+        # resamples PER EXAMPLE PER EPOCH (torchvision transform in the
+        # loader); _transform(epoch) reproduces that — epoch 0 is the
+        # fixed draw curvature jobs see, training re-draws each epoch via
+        # Workload.make_batches (train/loop.py::EpochResampledBatches).
+        x_raw = np.asarray(x) if (
+            getattr(args, "augment", False) or getattr(args, "noise", 0.0)
+        ) else None
+
+        def _transform(epoch: int):
+            xa = x_raw
+            seed = args.data_seed + 100003 * epoch
+            if getattr(args, "augment", False):
+                xa = augment_batch(xa, seed=seed)
+            if getattr(args, "noise", 0.0):
+                xa = add_gaussian_noise(xa, std=args.noise, seed=seed)
+            return xa
+
+        if x_raw is not None:
+            x = _transform(0)
         if name == "vgg16":
             model = VGG16(num_classes=num_classes)
             params = model.init(key, jnp.zeros((1, 32, 32, 3)))["params"]
@@ -420,15 +438,23 @@ def build_workload(args) -> Workload:
                 model, variables["batch_stats"], bn_train_mode=args.bn_train_mode
             )
         n = (len(x) // args.batch_size) * args.batch_size
-        xs = jnp.asarray(x[:n]).reshape(-1, args.batch_size, 32, 32, 3)
-        ys = jnp.asarray(y[:n]).reshape(-1, args.batch_size)
+
+        def _to_batches(xa):
+            xs = jnp.asarray(xa[:n]).reshape(-1, args.batch_size, 32, 32, 3)
+            ys = jnp.asarray(y[:n]).reshape(-1, args.batch_size)
+            return [(xs[i], ys[i]) for i in range(xs.shape[0])]
+
         return Workload(
             name,
             model,
             params,
             loss_fn,
-            [(xs[i], ys[i]) for i in range(xs.shape[0])],
+            _to_batches(x),
             args.batch_size,
+            make_batches=(
+                (lambda epoch: _to_batches(_transform(epoch)))
+                if x_raw is not None else None
+            ),
         )
 
     raise ValueError(f"unknown model {name!r}")
@@ -484,10 +510,11 @@ def add_common_args(parser) -> None:
     parser.add_argument("--classes", type=int, nargs="*", default=None)
     parser.add_argument("--augment", action="store_true",
                         help="RandomCrop(4)+flip on vision data "
-                        "(train_savespec.py:23-42). NOTE: one seeded draw "
-                        "applied to the whole dataset up front (curvature "
-                        "jobs see a fixed dataset); the reference resamples "
-                        "per example per epoch")
+                        "(train_savespec.py:23-42). Multi-epoch training "
+                        "redraws crops/flips per epoch keyed on "
+                        "(data_seed, epoch) — the reference's torchvision "
+                        "loader semantics; curvature/spectrum jobs see the "
+                        "fixed epoch-0 draw (a deterministic operator)")
     parser.add_argument("--noise", type=float, default=0.0,
                         help="AddGaussianNoise std on vision data "
                         "(train_savespec.py:46-55)")
@@ -552,13 +579,14 @@ def lm_loss_factory(wl: Workload, args) -> Optional[Callable]:
     cfg = getattr(wl.model, "config", None)
     if cfg is None or not hasattr(cfg, "block_matmul_precision"):
         return None
+    from hessian_llm_vision_tpu.krylov import spec_to_overrides
     from hessian_llm_vision_tpu.models import losses
 
     model_cls = type(wl.model)
     loss_chunk = getattr(args, "loss_chunk", None)
 
     def make_loss_fn(spec):
-        m = model_cls(dataclasses.replace(cfg, block_matmul_precision=spec))
+        m = model_cls(dataclasses.replace(cfg, **spec_to_overrides(spec)))
         return losses.lm_loss_fn(m, loss_chunk=loss_chunk)
 
     return make_loss_fn
@@ -596,25 +624,35 @@ def resolve_auto_precision(args, wl: Workload, attr: str = "hvp_precision",
         print(f"[auto-precision] {why}; resolving to 'high'")
         setattr(args, attr, "high")
         return wl
-    from hessian_llm_vision_tpu.krylov import auto_precision_plan
+    from hessian_llm_vision_tpu.krylov import (
+        auto_precision_plan,
+        op_split_candidates,
+        spec_to_overrides,
+    )
 
     cfg = wl.model.config
-    n_layers = getattr(cfg, "n_layer", None) or cfg.num_layers
+    # ladder: mixed first, then op-type splits where the config supports
+    # them (measured: depth-prefix escalation fails on trained ckpts —
+    # see krylov/autoprec.py::op_split_candidates)
+    candidates = [("mixed (all blocks 1-pass bf16)", "default")]
+    cfg_fields = {f.name for f in dataclasses.fields(cfg)}
+    if "attn_scores_precision" in cfg_fields:
+        candidates += op_split_candidates()
     plan = auto_precision_plan(
         factory,
         wl.params,
         wl.batches[0],
-        n_layers,
         key=jax.random.PRNGKey(getattr(args, "vector_seed", 0) + 101),
         tol=tol,
         ritz_iters=getattr(args, "precision_check_iters", 10),
+        candidates=candidates,
         log=print,
     )
     print(plan.describe())
     setattr(args, attr, plan.hvp_precision)
     args.block_precision = plan.block_precision
     new_model = type(wl.model)(
-        dataclasses.replace(cfg, block_matmul_precision=plan.block_precision)
+        dataclasses.replace(cfg, **spec_to_overrides(plan.block_precision))
     )
     return dataclasses.replace(
         wl,

@@ -294,6 +294,19 @@ def main(argv=None) -> float:
     batches = wl.batches
     if accum > 1:
         batches = [to_microbatches(b, accum) for b in batches]
+    if wl.make_batches is not None and args.epochs > 1:
+        # per-epoch stochastic augmentation (train_savespec.py:46-55
+        # semantics): each epoch redraws crops/flips/noise; epoch 0
+        # equals wl.batches, so single-epoch runs are unchanged
+        from hessian_llm_vision_tpu.train import EpochResampledBatches
+
+        batches = EpochResampledBatches(
+            wl.make_batches,
+            transform=(
+                (lambda bs: [to_microbatches(b, accum) for b in bs])
+                if accum > 1 else None
+            ),
+        )
 
     final = {"loss": float("nan")}
 

@@ -33,7 +33,9 @@ from hessian_llm_vision_tpu.krylov.autoprec import (
     PrecisionArm,
     auto_precision_plan,
     escalation_prefixes,
+    op_split_candidates,
     prefix_block_spec,
+    spec_to_overrides,
 )
 from hessian_llm_vision_tpu.krylov.power import power_iteration
 from hessian_llm_vision_tpu.krylov.cg import cg_solve
@@ -62,7 +64,9 @@ __all__ = [
     "PrecisionArm",
     "auto_precision_plan",
     "escalation_prefixes",
+    "op_split_candidates",
     "prefix_block_spec",
+    "spec_to_overrides",
     "matvec_precision_probe",
     "ritz_decomposition",
     "ritz_vectors",

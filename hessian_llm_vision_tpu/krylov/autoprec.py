@@ -57,7 +57,8 @@ class PrecisionArm:
     """One probed candidate."""
 
     label: str
-    block_precision: BlockSpec  # spec handed to the model builder
+    block_precision: Any  # spec handed to the model builder (see
+    # spec_to_overrides: None | str | per-layer tuple | dict of overrides)
     hvp_precision: str  # outer jax.default_matmul_precision
     ritz_rel_err: float  # worst extreme-Ritz rel err vs referee
     seconds_per_hvp: float  # steady-state, this chip, probe batch
@@ -68,7 +69,7 @@ class PrecisionArm:
 class AutoPrecisionPlan:
     """The chosen configuration + the evidence for it."""
 
-    block_precision: BlockSpec
+    block_precision: Any  # winning spec (see spec_to_overrides)
     hvp_precision: str
     label: str
     ritz_rel_err: float
@@ -86,6 +87,53 @@ class AutoPrecisionPlan:
                 f"{a.seconds_per_hvp * 1e3:.0f} ms/HVP"
             )
         return "\n".join(lines)
+
+
+def spec_to_overrides(spec) -> dict:
+    """Map a candidate spec to model-config field overrides.
+
+    ``None`` / str / tuple = a ``block_matmul_precision`` value; a dict is
+    passed through verbatim (op-type splits: ``attn_scores_precision``,
+    ``attn_matmul_precision``, ``mlp_matmul_precision``)."""
+    if isinstance(spec, dict):
+        return dict(spec)
+    return {"block_matmul_precision": spec}
+
+
+def op_split_candidates(fast: str = "default", escalate: str = "high"):
+    """Op-type escalation arms, cheapest first.
+
+    Measured motivation (trained GPT-2 124M, ckpt2000): DEPTH-prefix
+    escalation fails — extreme-Ritz error stays O(0.1–10) for every
+    prefix < L (h_0: 10.9, h_0..2: 7.46, half-depth: 0.159 vs referee) —
+    so the escalation axis must be WHICH matmuls inside every block run
+    1-pass bf16, not which blocks.  The attention-core einsums (q·k
+    scores feeding softmax, att·v) are ~5% of block FLOPs; the qkv/proj
+    Denses ~40%; the MLP ~55%.
+    """
+    return [
+        (
+            "mixed+scores-" + escalate,
+            {
+                "block_matmul_precision": fast,
+                "attn_scores_precision": escalate,
+            },
+        ),
+        (
+            "mixed+attn-" + escalate,
+            {
+                "block_matmul_precision": fast,
+                "attn_matmul_precision": escalate,
+            },
+        ),
+        (
+            "mixed+mlp-" + escalate,
+            {
+                "block_matmul_precision": fast,
+                "mlp_matmul_precision": escalate,
+            },
+        ),
+    ]
 
 
 def escalation_prefixes(n_layers: int) -> Tuple[int, ...]:
@@ -117,25 +165,32 @@ def prefix_block_spec(
 
 
 def _probe_arm(
-    batch_hvp, v0, params, batch, ritz_iters: int
+    batch_hvp, v0, params, batch, ritz_iters: int, *, reorth: bool = True
 ) -> Tuple[Tuple[float, float], float]:
-    """(extremes, steady seconds/HVP) for one candidate's cached program."""
+    """(extremes, steady seconds/HVP) for one candidate's cached program.
+
+    ``reorth=True`` (default): CGS2 against a bf16-stored basis buffer.
+    NON-NEGOTIABLE for arm-vs-arm comparisons on trained checkpoints —
+    the plain recurrence is chaotic at κ~10⁷ (see
+    driver._tiny_lanczos_extremes)."""
     from hessian_llm_vision_tpu.krylov.driver import _tiny_lanczos_extremes
 
     # warm the program so the timed recurrence is steady-state (remote
     # compiles are minutes; they must not pollute the speed comparison)
     batch_hvp(v0, params, batch).block_until_ready()
     t0 = time.perf_counter()
-    extremes = _tiny_lanczos_extremes(batch_hvp, v0, params, batch, ritz_iters)
+    extremes = _tiny_lanczos_extremes(
+        batch_hvp, v0, params, batch, ritz_iters, reorth=reorth
+    )
     dt = (time.perf_counter() - t0) / max(ritz_iters, 1)
     return extremes, dt
 
 
 def auto_precision_plan(
-    make_loss_fn: Callable[[BlockSpec], Callable[[Any, Any], jax.Array]],
+    make_loss_fn: Callable[[Any], Callable[[Any, Any], jax.Array]],
     params: Any,
     batch: Any,
-    n_layers: int,
+    n_layers: Optional[int] = None,
     *,
     key: Optional[jax.Array] = None,
     vector: Optional[jax.Array] = None,
@@ -147,22 +202,29 @@ def auto_precision_plan(
     escalate: str = "high",
     fast: str = "default",
     prefixes: Optional[Sequence[int]] = None,
+    candidates: Optional[Sequence[Tuple[str, Any]]] = None,
+    reorth: bool = True,
     log: Optional[Callable[[str], None]] = None,
 ) -> AutoPrecisionPlan:
     """Pick the fastest precision configuration meeting the parity bar.
 
-    ``make_loss_fn(block_spec)`` must return the loss closure for a model
-    rebuilt with ``block_matmul_precision=block_spec`` (``None`` = inherit
-    outer precision everywhere — the referee/strict arm).  The returned
-    plan's ``block_precision``/``hvp_precision`` feed straight back into
-    the model config and the spectrum driver.
+    ``make_loss_fn(spec)`` must return the loss closure for a model
+    rebuilt per :func:`spec_to_overrides` (``None`` = inherit outer
+    precision everywhere — the referee/strict arm).  The returned plan's
+    ``block_precision``/``hvp_precision`` feed straight back into the
+    model config and the spectrum driver.
 
-    Decision rule: walk the escalation ladder front-to-back and return the
-    FIRST arm whose worst extreme-Ritz relative error vs the f32 referee
-    is ≤ ``tol`` (the ladder is ordered fastest-first, so first-passing =
-    fastest-passing up to per-arm timing noise); fall back to uniform
-    ``escalate`` blocks (strict mode, measured ≤2e-5 at 124M) if no
-    prefix passes, and to the referee's own precision as the last resort.
+    Candidate arms: an explicit ``candidates`` list of ``(label, spec)``
+    pairs, or ``prefixes`` for the depth-escalation ladder, or (default)
+    mixed followed by the op-type splits (:func:`op_split_candidates` —
+    the axis measurement favors; see its docstring).
+
+    Decision rule: walk the ladder front-to-back and return the FIRST arm
+    whose worst extreme-Ritz relative error vs the f32 referee is ≤
+    ``tol`` (order candidates fastest-first so first-passing =
+    fastest-passing); fall back to uniform ``escalate`` blocks (strict
+    mode, measured ≤2e-5 at 124M) if no candidate passes, and to the
+    referee's own precision as the last resort.
     """
     from hessian_llm_vision_tpu.krylov.driver import _jitted_batch_hvp
 
@@ -181,7 +243,9 @@ def auto_precision_plan(
     ref_hvp = _jitted_batch_hvp(
         make_loss_fn(None), "mean", referee_precision, fl
     )
-    ref_ext, ref_dt = _probe_arm(ref_hvp, v0, params, batch, ritz_iters)
+    ref_ext, ref_dt = _probe_arm(
+        ref_hvp, v0, params, batch, ritz_iters, reorth=reorth
+    )
     scale = max(abs(ref_ext[0]), abs(ref_ext[1]), 1e-30)
     say(
         f"[auto-precision] referee ({referee_precision}): "
@@ -196,7 +260,9 @@ def auto_precision_plan(
 
     def try_arm(label: str, spec: BlockSpec, hvp_prec: str) -> PrecisionArm:
         hvp = _jitted_batch_hvp(make_loss_fn(spec), "mean", hvp_prec, fl)
-        ext, dt = _probe_arm(hvp, v0, params, batch, ritz_iters)
+        ext, dt = _probe_arm(
+            hvp, v0, params, batch, ritz_iters, reorth=reorth
+        )
         arm = PrecisionArm(
             label=label,
             block_precision=spec,
@@ -213,18 +279,20 @@ def auto_precision_plan(
         )
         return arm
 
-    ladder = (
-        escalation_prefixes(n_layers) if prefixes is None
-        else tuple(prefixes)
-    )
-    for n_high in ladder:
-        label = (
-            "mixed (all blocks 1-pass bf16)" if n_high == 0
-            else f"mixed+escalate[h_0..h_{n_high - 1}]"
-        )
-        spec = prefix_block_spec(
-            n_layers, n_high, escalate=escalate, fast=fast
-        )
+    if candidates is None:
+        if prefixes is not None:
+            candidates = [
+                (
+                    "mixed (all blocks 1-pass bf16)" if b == 0
+                    else f"mixed+escalate[h_0..h_{b - 1}]",
+                    prefix_block_spec(n_layers, b, escalate=escalate, fast=fast),
+                )
+                for b in prefixes
+            ]
+        else:
+            candidates = [("mixed (all blocks 1-pass bf16)", fast)]
+            candidates += op_split_candidates(fast=fast, escalate=escalate)
+    for label, spec in candidates:
         arm = try_arm(label, spec, outer_precision)
         if arm.ritz_rel_err <= tol:
             return AutoPrecisionPlan(

@@ -196,20 +196,75 @@ def matvec_precision_probe(
     return stats
 
 
-def _tiny_lanczos_extremes(batch_hvp, v0, params, batch, num_iters):
-    """(λ_min, λ_max) Ritz estimates from a short T-only Lanczos over one
-    batch's cached HVP program — the probe quantity the parity bar gates.
+@functools.lru_cache(maxsize=8)
+def _jitted_reorth_recurrence_step(k: int, basis_dtype):
+    """One cached Lanczos step with CGS2 full reorthogonalization against
+    a FIXED (k, P) basis buffer (rows ≤ i live, row mask in-program, so
+    every iteration reuses ONE compiled program — growing-shape reorth
+    would recompile per iteration through the remote tunnel).
+
+    The basis is STORED ``basis_dtype`` (bf16 default: 2.5 GB at 124M for
+    k=10), arithmetic f32 — the repo's --qprev_bf16 convention.  The
+    buffer is donated through the step so no copy accumulates.
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def step(w, Q, i, q_cur, q_prev, beta_prev):
+        alpha = jnp.vdot(q_cur, w)
+        w = w - alpha * q_cur - beta_prev * q_prev
+        Q = Q.at[i].set(q_cur.astype(Q.dtype))
+        mask = (jnp.arange(k) <= i).astype(jnp.float32)
+        for _ in range(2):  # CGS2
+            coeff = (Q.astype(jnp.float32) @ w) * mask
+            w = w - Q.astype(jnp.float32).T @ coeff
+        beta = jnp.linalg.norm(w)
+        q_next = w / jnp.maximum(beta, 1e-30)
+        return alpha, beta, q_next, Q
+
+    return step
+
+
+def _tiny_lanczos_extremes(
+    batch_hvp, v0, params, batch, num_iters, *, reorth=False,
+    basis_dtype=jnp.bfloat16,
+):
+    """(λ_min, λ_max) Ritz estimates from a short Lanczos over one batch's
+    cached HVP program — the probe quantity the parity bar gates.
     Host-driven: each iteration is one dispatch of ``batch_hvp`` (never a
-    chained program; remote-compile ceiling, CLAUDE.md)."""
+    chained program; remote-compile ceiling, CLAUDE.md).
+
+    ``reorth=True`` keeps a (num_iters, P) ``basis_dtype`` buffer and
+    CGS2-reorthogonalizes every iterate.  REQUIRED for arm-vs-arm
+    precision comparisons on ill-conditioned (trained) checkpoints: the
+    plain three-term recurrence is chaotic there (measured at 124M
+    ckpt2000, κ~10⁷: strict-vs-f32 extremes disagree by 4.4e-1 on the
+    no-reorth probe while the reorthogonalized/full-job values agree to
+    ~1e-4), so without reorth the probe measures trajectory divergence,
+    not operator error."""
     q_cur, q_prev = v0, jnp.zeros_like(v0)
     beta_prev = jnp.float32(0.0)
     alphas, betas = [], []
-    for _ in range(num_iters):
-        w = batch_hvp(q_cur, params, batch)
-        alpha, beta, q_next = host_recurrence_step(w, q_cur, q_prev, beta_prev)
-        q_prev, q_cur, beta_prev = q_cur, q_next, beta
-        alphas.append(alpha)
-        betas.append(beta)
+    if reorth:
+        rstep = _jitted_reorth_recurrence_step(num_iters, basis_dtype)
+        Q = jnp.zeros((num_iters, v0.shape[0]), basis_dtype)
+        for i in range(num_iters):
+            w = batch_hvp(q_cur, params, batch)
+            alpha, beta, q_next, Q = rstep(
+                w, Q, jnp.int32(i), q_cur, q_prev, beta_prev
+            )
+            q_prev, q_cur, beta_prev = q_cur, q_next, beta
+            alphas.append(alpha)
+            betas.append(beta)
+        del Q
+    else:
+        for _ in range(num_iters):
+            w = batch_hvp(q_cur, params, batch)
+            alpha, beta, q_next = host_recurrence_step(
+                w, q_cur, q_prev, beta_prev
+            )
+            q_prev, q_cur, beta_prev = q_cur, q_next, beta
+            alphas.append(alpha)
+            betas.append(beta)
     a = np.asarray(jnp.stack(alphas), np.float64)
     b = np.asarray(jnp.stack(betas[:-1]), np.float64) if num_iters > 1 else np.zeros((0,))
     T = np.diag(a) + np.diag(b, 1) + np.diag(b, -1)

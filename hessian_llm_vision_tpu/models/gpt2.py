@@ -67,10 +67,22 @@ class GPT2Config:
     # while the vocab-head matmul/log-softmax (the direct loss path) keeps
     # 3-pass precision.  See bench.py mixed-mode parity measurements.
     # Also accepts an n_layer tuple of per-block precisions — the
-    # auto-precision escalation surface (models/precision.py,
-    # krylov/autoprec.py): trained checkpoints need only the sharp EARLY
-    # blocks escalated to "high" while late blocks keep 1-pass bf16.
+    # auto-precision DEPTH escalation surface (models/precision.py,
+    # krylov/autoprec.py).  Measured on the trained-124M checkpoint:
+    # depth-prefix escalation does NOT recover accuracy (errors stay
+    # O(0.1-10) for every prefix < L), so the planner also probes the
+    # OP-TYPE splits below.
     block_matmul_precision: str | tuple | None = None
+    # Op-type matmul precision overrides WITHIN every block (None =
+    # inherit the block context).  Innermost scope wins:
+    # block -> attn/mlp -> attn scores.  attn_scores_precision covers the
+    # two attention-core einsums (q·k scores and att·v), the cheapest
+    # escalation (~5% of block FLOPs at seq512); attn_matmul_precision
+    # covers the whole attention sublayer (qkv/proj Denses + core);
+    # mlp_matmul_precision covers the MLP (or MoE) sublayer.
+    attn_matmul_precision: str | None = None
+    mlp_matmul_precision: str | None = None
+    attn_scores_precision: str | None = None
     # mixture-of-experts MLP: 0 = dense MLP (GPT-2 proper); E > 0 replaces
     # every block's MLP with a softmax-gated dense MoE of E experts whose
     # stacked (E, ...) weights shard over an 'ep' mesh axis — see
@@ -125,10 +137,11 @@ class CausalSelfAttention(nn.Module):
             return t.reshape(B, T, cfg.n_head, cfg.head_dim)
 
         q, k, v = heads(q), heads(k), heads(v)
-        y = causal_attention(
-            q, k, v, block_q=cfg.attn_block_q, remat=cfg.attn_remat,
-            unroll=cfg.attn_unroll
-        ).reshape(B, T, C)
+        with precision_scope(cfg.attn_scores_precision):
+            y = causal_attention(
+                q, k, v, block_q=cfg.attn_block_q, remat=cfg.attn_remat,
+                unroll=cfg.attn_unroll
+            ).reshape(B, T, C)
         y = nn.Dense(C, dtype=cfg.dtype, name="c_proj")(y)
         if cfg.dropout > 0:
             y = nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
@@ -155,21 +168,24 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic=True):
         cfg = self.config
-        x = x + CausalSelfAttention(cfg, name="attn")(
-            nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln_1")(x), deterministic
-        )
-        if cfg.n_experts:
-            from hessian_llm_vision_tpu.models.moe import MoEMLP
+        with precision_scope(cfg.attn_matmul_precision):
+            x = x + CausalSelfAttention(cfg, name="attn")(
+                nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln_1")(x),
+                deterministic,
+            )
+        with precision_scope(cfg.mlp_matmul_precision):
+            if cfg.n_experts:
+                from hessian_llm_vision_tpu.models.moe import MoEMLP
 
-            x = x + MoEMLP(cfg, name="moe")(
-                nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln_2")(x),
-                deterministic,
-            )
-        else:
-            x = x + MLPBlock(cfg, name="mlp")(
-                nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln_2")(x),
-                deterministic,
-            )
+                x = x + MoEMLP(cfg, name="moe")(
+                    nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln_2")(x),
+                    deterministic,
+                )
+            else:
+                x = x + MLPBlock(cfg, name="mlp")(
+                    nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln_2")(x),
+                    deterministic,
+                )
         return x
 
 

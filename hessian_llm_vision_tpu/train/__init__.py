@@ -1,4 +1,5 @@
 from hessian_llm_vision_tpu.train.loop import (
+    EpochResampledBatches,
     TrainState,
     make_train_step,
     train,

@@ -24,6 +24,30 @@ import numpy as np
 import optax
 
 
+class EpochResampledBatches:
+    """Re-iterable batch source that redraws per epoch.
+
+    ``train()`` calls ``iter(batches)`` once per epoch; this wrapper maps
+    the n-th iteration to ``make_batches(n)`` — the hook for per-epoch
+    stochastic augmentation (the reference applies torchvision transforms
+    in the loader, so every epoch sees fresh crops/flips/noise,
+    /root/reference/train_savespec.py:46-55).  ``transform`` (optional)
+    post-processes each fresh list (e.g. micro-batch regrouping)."""
+
+    def __init__(self, make_batches: Callable[[int], list],
+                 transform: Optional[Callable[[list], list]] = None):
+        self._make = make_batches
+        self._transform = transform
+        self._epoch = 0
+
+    def __iter__(self):
+        batches = self._make(self._epoch)
+        if self._transform is not None:
+            batches = self._transform(batches)
+        self._epoch += 1
+        return iter(batches)
+
+
 class TrainState(NamedTuple):
     params: Any
     opt_state: Any

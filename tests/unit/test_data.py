@@ -214,3 +214,49 @@ def test_cifar10_cli_workload(tmp_path, monkeypatch):
     for xb, yb in wl.batches:
         assert xb.shape[1:] == (32, 32, 3)
         assert int(yb.max()) <= 1
+
+
+def test_per_epoch_augmentation_redraws(tmp_path, monkeypatch):
+    """--augment: make_batches(epoch) redraws crops/flips per epoch
+    (train_savespec.py:46-55 loader semantics); epoch 0 == wl.batches so
+    curvature jobs keep a fixed operator."""
+    import numpy as np
+
+    _write_cifar_fixture(str(tmp_path))
+    monkeypatch.setenv("HLV_CIFAR_DIR", str(tmp_path))
+    import hessian_llm_vision_tpu.cli.common as common
+    from hessian_llm_vision_tpu.cli.spectrum import build_parser
+
+    args = build_parser().parse_args(
+        ["--model", "vgg16", "--batch_size", "10", "--augment", "--cpu"]
+    )
+    wl = common.build_workload(args)
+    assert wl.make_batches is not None
+    b0 = wl.make_batches(0)
+    b1 = wl.make_batches(1)
+    # epoch 0 reproduces the workload's fixed draw exactly
+    np.testing.assert_array_equal(
+        np.asarray(b0[0][0]), np.asarray(wl.batches[0][0])
+    )
+    # epoch 1 is a DIFFERENT draw of the same images
+    assert not np.array_equal(np.asarray(b1[0][0]), np.asarray(b0[0][0]))
+    # same epoch is deterministic
+    np.testing.assert_array_equal(
+        np.asarray(wl.make_batches(1)[0][0]), np.asarray(b1[0][0])
+    )
+    # labels never change
+    np.testing.assert_array_equal(np.asarray(b1[0][1]), np.asarray(b0[0][1]))
+
+    # the loop-facing wrapper advances one draw per epoch
+    from hessian_llm_vision_tpu.train import EpochResampledBatches
+
+    src = EpochResampledBatches(wl.make_batches)
+    first = [np.asarray(x) for x, _ in src]
+    second = [np.asarray(x) for x, _ in src]
+    assert not np.array_equal(first[0], second[0])
+
+    # without --augment/--noise there is no per-epoch hook
+    args2 = build_parser().parse_args(
+        ["--model", "vgg16", "--batch_size", "10", "--cpu"]
+    )
+    assert common.build_workload(args2).make_batches is None
