@@ -171,7 +171,20 @@ def main():
         return out
 
     ref = run_arm("referee_f32", None, "highest")
-    arms = [("strict_high", None, "high"), ("mixed", "default", "high")]
+    X6 = "BF16_BF16_F32_X6"
+    arms = [
+        # measured: "highest" on this v5e lowers to the X6 dot algorithm
+        # (x6_all reproduced the referee bit-for-bit at identical ms/HVP);
+        # X9 is rejected by this libtpu.  The bracketing arms attribute
+        # the "high" (3-pass) error between the transformer blocks and
+        # the embedding/vocab-head path.
+        ("x6_all", None, X6),
+        ("strict_high", None, "high"),
+        ("blocks_high_rest_x6", {"block_matmul_precision": "high"}, X6),
+        ("blocks_x6_rest_high", {"block_matmul_precision": X6}, "high"),
+        ("blocks_default_rest_x6", {"block_matmul_precision": "default"}, X6),
+        ("mixed", "default", "high"),
+    ]
     arms += [(lbl, spec, "high") for lbl, spec in op_split_candidates()]
     arms += [("fast_default", None, "default")]
     for name, spec, prec in arms:

@@ -686,6 +686,16 @@ def referee_loss_fn_for(args):
 def maybe_force_cpu(args) -> None:
     if getattr(args, "cpu", False):
         jax.config.update("jax_platforms", "cpu")
+        return
+    if jax.default_backend() == "cpu":
+        # NEVER persist CPU compiles: XLA:CPU AOT artifacts bake the build
+        # machine's vector features and LOADING one on a different host
+        # SIGILLs/segfaults (observed: a CLI test without --cpu enabled
+        # the cache process-wide under the tests' forced-CPU backend, and
+        # a later unrelated test crashed loading a stale cross-machine
+        # entry).  CPU compiles are fast; only remote TPU compiles need
+        # the cache.
+        return
     else:
         # persistent compile cache: remote TPU compiles of 124M-scale
         # programs take minutes cold, seconds cached (bench.py pattern)

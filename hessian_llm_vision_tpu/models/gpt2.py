@@ -88,6 +88,14 @@ class GPT2Config:
     # stacked (E, ...) weights shard over an 'ep' mesh axis — see
     # models/moe.py (beyond-parity expert-parallel capability)
     n_experts: int = 0
+    # top-k expert routing (0 = dense softmax gating, the curvature-exact
+    # default).  k > 0 switches the MoE forward to capacity-based sparse
+    # dispatch (models/moe.py::_topk_moe): O(k/E) of the dense expert
+    # FLOPs, static shapes, 'ep'-sharded.  Routing indices are
+    # piecewise-constant, so HVPs ignore routing curvature — keep dense
+    # gating for spectra (documented caveat).
+    moe_top_k: int = 0
+    moe_capacity_factor: float = 1.25
     # sequence-parallel residual stream: a jax Sharding for the (B, T, C)
     # activations, asserted after the embedding and after every block so
     # XLA's partitioner keeps the norm/MLP/loss regions sharded along T

@@ -34,6 +34,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -61,6 +62,12 @@ class MoEMLP(nn.Module):
         b1 = self.param("b1", nn.initializers.zeros, (E, F), jnp.float32)
         w2 = self.param("w2", init, (E, F, C), jnp.float32)
         b2 = self.param("b2", nn.initializers.zeros, (E, C), jnp.float32)
+        top_k = int(getattr(cfg, "moe_top_k", 0) or 0)
+        if top_k:
+            return _topk_moe(
+                x, probs, w1, b1, w2, b2, cfg, top_k,
+                float(getattr(cfg, "moe_capacity_factor", 1.25)),
+            )
         # per-expert MLP, expert axis e shards over 'ep'; the final
         # gate-weighted combine contracts e => one psum over ICI
         h = jnp.einsum("btc,ecf->btef", x, w1.astype(cfg.dtype)) + b1.astype(
@@ -71,6 +78,61 @@ class MoEMLP(nn.Module):
             cfg.dtype
         )
         return jnp.einsum("btec,bte->btc", y, probs)
+
+
+def _topk_moe(x, probs, w1, b1, w2, b2, cfg, top_k: int, cap_factor: float):
+    """Capacity-based top-k expert dispatch (Mesh-TensorFlow style).
+
+    The sparse-COMPUTE forward: each token routes to its ``top_k`` experts
+    (renormalized gate weights), each expert processes a fixed-capacity
+    buffer of ``Cap = ceil(top_k·N/E · cap_factor)`` token slots — all
+    shapes STATIC, dispatch/combine are one-hot einsums XLA tiles onto the
+    MXU, and the expert axis still shards over 'ep' exactly like the dense
+    path (dispatch output is e-leading; the combine contracts e → one
+    psum over ICI).  Tokens overflowing an expert's capacity are dropped
+    from that expert (standard Switch/GShard semantics; cap_factor sizes
+    the slack).
+
+    With ``top_k == E`` and enough capacity every token reaches every
+    expert with its full softmax weight — reduces EXACTLY to the dense
+    path (pinned in tests/distributed/test_moe.py).
+
+    CURVATURE CAVEAT: top-k index selection is piecewise-constant, so
+    grads/HVPs ignore the routing's own curvature (exact only within the
+    active routing region).  Curvature jobs keep the default dense gating
+    (cfg.moe_top_k = 0), which is smooth and twice-differentiable — the
+    documented exactness rationale in the module docstring.
+    """
+    B, T, C = x.shape
+    E = cfg.n_experts
+    N = B * T
+    cap = int(np.ceil(top_k * N / E * cap_factor))
+    cap = max(1, min(cap, N))
+    xf = x.reshape(N, C)
+    pf = probs.reshape(N, E).astype(jnp.float32)
+    vals, sel = jax.lax.top_k(pf, top_k)  # (N, k)
+    vals = vals / jnp.maximum(vals.sum(-1, keepdims=True), 1e-30)
+    combine = jnp.zeros((N, E, cap), jnp.float32)
+    cum_counts = jnp.zeros((E,), jnp.int32)
+    for j in range(top_k):  # k is small and static: unrolled at trace time
+        mask_j = jax.nn.one_hot(sel[:, j], E, dtype=jnp.int32)  # (N, E)
+        pos_j = cum_counts[None, :] + jnp.cumsum(mask_j, axis=0) - mask_j
+        within = (pos_j < cap) & (mask_j > 0)
+        slot = jax.nn.one_hot(pos_j, cap, dtype=jnp.float32)  # (N, E, cap)
+        combine = combine + (
+            vals[:, j][:, None, None]
+            * within.astype(jnp.float32)[:, :, None]
+            * slot
+        )
+        cum_counts = cum_counts + mask_j.sum(0)
+    dispatch = (combine > 0).astype(cfg.dtype)  # (N, E, cap)
+    expert_in = jnp.einsum("nec,nd->ecd", dispatch, xf.astype(cfg.dtype))
+    h = jnp.einsum("ecd,edf->ecf", expert_in, w1.astype(cfg.dtype))
+    h = nn.gelu(h + b1.astype(cfg.dtype)[:, None, :], approximate=True)
+    y = jnp.einsum("ecf,efd->ecd", h, w2.astype(cfg.dtype))
+    y = y + b2.astype(cfg.dtype)[:, None, :]
+    out = jnp.einsum("nec,ecd->nd", combine.astype(cfg.dtype), y)
+    return out.reshape(B, T, C)
 
 
 def moe_param_sharding(params, mesh: Mesh, *, ep_axis: str = "ep"):

@@ -32,6 +32,21 @@ BlockPrecision = Union[None, str, Sequence[Optional[str]]]
 _VALID = (None, "default", "high", "highest")
 
 
+def _check(p) -> None:
+    # precision tiers plus dot-algorithm preset names (e.g.
+    # "BF16_BF16_F32_X6" — measured on v5e: "highest" lowers to X6, and
+    # X6 blocks are the accuracy floor for trained-checkpoint curvature);
+    # jax.default_matmul_precision validates preset strings itself at
+    # scope entry, so only obviously-wrong types are rejected here.
+    if p is None or (isinstance(p, str) and (p in _VALID or p.isupper())):
+        return
+    raise ValueError(
+        f"invalid block matmul precision {p!r}; expected one of "
+        f"{_VALID} or a jax dot-algorithm preset name (e.g. "
+        "'BF16_BF16_F32_X6')"
+    )
+
+
 def per_layer_precision(
     bmp: BlockPrecision, n_layers: int
 ) -> Tuple[Optional[str], ...]:
@@ -46,11 +61,7 @@ def per_layer_precision(
                 f"for {n_layers} layers"
             )
     for p in per:
-        if p not in _VALID:
-            raise ValueError(
-                f"invalid block matmul precision {p!r}; expected one of "
-                f"{_VALID}"
-            )
+        _check(p)
     return per
 
 

@@ -44,7 +44,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from hessian_llm_vision_tpu.models.losses import causal_lm_loss
 
 
 def make_pipeline_mesh(
@@ -130,54 +129,105 @@ def pipeline_param_sharding(
 def pipeline_apply(
     stage_fn: Callable[[Any, jax.Array], jax.Array],
     stage_params: Any,
-    xm: jax.Array,
+    inputs: jax.Array,
     mesh: Mesh,
     *,
+    input_fn: Optional[Callable[[Any, jax.Array], jax.Array]] = None,
+    input_consts: Any = None,
     pp_axis: str = "pp",
     data_axis: Optional[str] = None,
+    scatter_outputs: bool = True,
+    remat_ticks: bool = False,
 ) -> jax.Array:
     """Rotate microbatched activations through the stage pipeline.
 
     ``stage_params``: pytree with leading stage axis (``[S, ...]`` leaves),
-    sharded over ``pp_axis``.  ``xm``: ``[M, b, T, C]`` microbatched
-    activations (optionally ``b`` sharded over ``data_axis`` for dp x pp).
-    ``stage_fn(local_stage_params, x) -> x`` applies ONE stage's blocks.
+    sharded over ``pp_axis``.  ``inputs``: ``[M, b, ...]`` microbatched RAW
+    inputs (``b`` optionally sharded over ``data_axis`` for dp x pp).
+    ``input_fn(input_consts, inp_mb) -> (b, T, C)`` produces stage-0
+    activations per microbatch INSIDE the pipeline region (e.g. the token
+    embedding) — so the replicated entry cost is the raw inputs (int32
+    ids: 256× smaller than f32 activations), not ``[M, b, T, C]``
+    activations on every rank.  ``input_fn=None`` treats ``inputs`` as
+    activations directly.  ``stage_fn(local_stage_params, x) -> x``
+    applies ONE stage's blocks.
 
     Schedule: tick ``t`` has stage ``s`` processing microbatch ``t - s``
-    (zeros during the fill/drain bubble); after each tick the residual
-    stream ppermutes to the next stage.  Microbatch ``m`` leaves the last
-    stage at tick ``m + S - 1``; outputs are psum'd over ``pp`` so every
-    rank returns the full result (the transpose of that psum is the
-    broadcast the backward pass needs).
+    (zeros during the fill/drain bubble — the GPipe bubble fraction
+    (S-1)/(M+S-1)); after each tick the residual stream ppermutes to the
+    next stage.  Microbatch ``m`` leaves the last stage at tick
+    ``m + S - 1``.
+
+    Exit: with ``scatter_outputs=True`` (and ``M % S == 0``) the outputs
+    leave via ``psum_scatter`` — each rank returns M/S microbatches and
+    the result is microbatch-sharded over ``pp_axis`` (1/S the exit bytes
+    of an all-reduce AND 1/S the post-region HBM; downstream norm/head/
+    loss compute then parallelizes over pp for free).  Otherwise a psum
+    replicates the full result (also the S=1 degenerate path: psum over a
+    size-1 axis is the identity that re-establishes replication for the
+    out_specs VMA check).
+
+    ``remat_ticks=True`` checkpoints each tick body: the scan's backward
+    then keeps only per-tick carries as residuals and recomputes the
+    stage interior — the activation-memory lever for deep stages (NOTE
+    this repo's remote-compiler ceiling: per-tick remat is a small
+    recompute region, unlike whole-loss remat which it rejects).
+
+    Why GPipe and not 1F1B: this pipeline lives INSIDE a differentiable
+    ``loss(params, batch)`` closure — grads and HVPs come from jax
+    autodiff of the scan, which already interleaves its own backward
+    sweep; an explicit 1F1B schedule only reorders work autodiff
+    schedules itself, and its memory win (S live microbatches instead of
+    M) is delivered here by ``remat_ticks`` + the scattered exit instead.
     """
     S = mesh.shape[pp_axis]
-    act_spec = P(None, data_axis, *((None,) * (xm.ndim - 2)))
+    M = inputs.shape[0]
+    in_spec = P(None, data_axis, *((None,) * (inputs.ndim - 2)))
+    scatter = scatter_outputs and (M % S == 0)
+    out_spec = (
+        P(pp_axis, data_axis, None, None) if scatter
+        else P(None, data_axis, None, None)
+    )
     blk_specs = jax.tree.map(
         lambda a: P(*((pp_axis,) + (None,) * (a.ndim - 1))), stage_params
     )
+    const_specs = jax.tree.map(lambda _: P(), input_consts)
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(blk_specs, act_spec),
-        out_specs=act_spec,
+        in_specs=(blk_specs, const_specs, in_spec),
+        out_specs=out_spec,
     )
-    def run(bp, xloc):
+    def run(bp, consts, inp_loc):
         s = jax.lax.axis_index(pp_axis)
         bp = jax.tree.map(lambda a: a[0], bp)  # local [1, nb, ...] -> [nb, ...]
-        M = xloc.shape[0]
         perm = [(i, (i + 1) % S) for i in range(S)]
-        # scan-vma rule: the carry becomes pp-varying inside the body
-        # (axis_index selects), so the initial carry must enter varying
-        state = jax.lax.pcast(jnp.zeros_like(xloc[0]), (pp_axis,), to="varying")
-        outputs = jax.lax.pcast(jnp.zeros_like(xloc), (pp_axis,), to="varying")
+
+        def embed(mb):
+            return input_fn(consts, mb) if input_fn is not None else mb
+
+        # shape/dtype of the residual stream, traced once (constant zeros)
+        proto = jax.eval_shape(embed, jax.tree.map(lambda a: a[0], inp_loc))
+        # scan-vma rule: the carry becomes varying inside the body (the
+        # axis_index select makes it pp-varying; the data-sharded inputs
+        # make it data-varying), so the initial constant-zeros carry must
+        # enter varying over BOTH axes
+        vary_axes = (pp_axis,) + ((data_axis,) if data_axis else ())
+        state = jax.lax.pcast(
+            jnp.zeros(proto.shape, proto.dtype), vary_axes, to="varying"
+        )
+        outputs = jax.lax.pcast(
+            jnp.zeros((M,) + proto.shape, proto.dtype), vary_axes,
+            to="varying",
+        )
 
         def tick(carry, t):
             state, outputs = carry
-            x_in = jax.lax.dynamic_index_in_dim(
-                xloc, jnp.clip(t, 0, M - 1), 0, keepdims=False
+            mb = jax.lax.dynamic_index_in_dim(
+                inp_loc, jnp.clip(t, 0, M - 1), 0, keepdims=False
             )
-            state = jnp.where(s == 0, x_in, state)
+            state = jnp.where(s == 0, embed(mb), state)
             state = stage_fn(bp, state)
             oidx = jnp.clip(t - (S - 1), 0, M - 1)
             cur = jax.lax.dynamic_index_in_dim(outputs, oidx, 0, keepdims=False)
@@ -189,16 +239,20 @@ def pipeline_apply(
                 state = jax.lax.ppermute(state, pp_axis, perm)
             return (state, outputs), None
 
+        if remat_ticks:
+            tick = jax.checkpoint(tick)
         (_, outputs), _ = jax.lax.scan(
             tick, (state, outputs), jnp.arange(M + S - 1)
         )
-        # psum unconditionally: over a size-1 pp axis it is an identity that
-        # re-establishes replication, which the out_specs VMA check requires
-        # (the pcast above made outputs pp-varying even when S == 1).
-        outputs = jax.lax.psum(outputs, pp_axis)
+        if scatter:
+            outputs = jax.lax.psum_scatter(
+                outputs, pp_axis, scatter_dimension=0, tiled=True
+            )
+        else:
+            outputs = jax.lax.psum(outputs, pp_axis)
         return outputs
 
-    return run(stage_params, xm)
+    return run(stage_params, input_consts, inputs)
 
 
 def make_pipelined_lm_loss(
@@ -209,6 +263,7 @@ def make_pipelined_lm_loss(
     pp_axis: str = "pp",
     data_axis: Optional[str] = None,
     include_padding: bool = False,
+    remat_ticks: bool = False,
 ) -> Callable[[Any, Any], jax.Array]:
     """Pipelined GPT-2 LM loss: ``loss(pipe_params, batch) -> scalar``.
 
@@ -268,8 +323,9 @@ def make_pipelined_lm_loss(
     # replicate-the-tensor warnings per HVP compile on the dp x pp mesh
     # (VERDICT r3 item 2).  The constraints are linear and exact; jvp and
     # transpose propagate them to tangents/cotangents.
-    micro_spec = P(None, data_axis, None, None)
-    flat_spec = P(data_axis, None, None)
+    S = mesh.shape[pp_axis]
+    scatter = num_microbatches % S == 0
+    micro_spec = P(pp_axis if scatter else None, data_axis, None, None)
 
     def _constrain(t, spec):
         return jax.lax.with_sharding_constraint(t, NamedSharding(mesh, spec))
@@ -277,38 +333,69 @@ def make_pipelined_lm_loss(
     def loss(pipe_params, batch):
         ids = batch["input_ids"]
         B, T = ids.shape
-        if B % num_microbatches:
+        M = num_microbatches
+        if B % M:
             raise ValueError(
-                f"batch {B} not divisible by num_microbatches={num_microbatches}"
+                f"batch {B} not divisible by num_microbatches={M}"
             )
         wte, wpe = pipe_params["wte"], pipe_params["wpe"]
-        x = wte[ids].astype(cfg.dtype) + wpe[:T][None].astype(cfg.dtype)
-        x = _constrain(x, flat_spec)
-        xm = x.reshape(num_microbatches, B // num_microbatches, T, cfg.n_embd)
-        xm = _constrain(xm, micro_spec)
+        idm = ids.reshape(M, B // M, T)
+
+        def embed(consts, mb):
+            w, p = consts
+            return w[mb].astype(cfg.dtype) + p[:T][None].astype(cfg.dtype)
+
+        # entry: int32 ids only (the f32 activations never replicate);
+        # exit: microbatch-sharded over pp (psum_scatter) when M % S == 0,
+        # so ln_f/head/loss below also shard over pp
         ym = pipeline_apply(
             stage_fn,
             pipe_params["blocks"],
-            xm,
+            idm,
             mesh,
+            input_fn=embed,
+            input_consts=(wte, wpe),
             pp_axis=pp_axis,
             data_axis=data_axis,
+            scatter_outputs=True,
+            remat_ticks=remat_ticks,
         )
-        ym = _constrain(ym, micro_spec)
-        y = ym.reshape(B, T, cfg.n_embd)
-        y = _constrain(y, flat_spec)
+        ym = _constrain(ym, micro_spec)  # (M, b, T, C)
         y = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype).apply(
-            {"params": pipe_params["ln_f"]}, y
+            {"params": pipe_params["ln_f"]}, ym
         )
         if cfg.tie_word_embeddings:
-            logits = jnp.einsum("btc,vc->btv", y, wte.astype(cfg.dtype))
+            logits = jnp.einsum("mbtc,vc->mbtv", y, wte.astype(cfg.dtype))
         else:
-            logits = y @ pipe_params["lm_head"]["kernel"]
-        return causal_lm_loss(
+            logits = jnp.einsum(
+                "mbtc,cv->mbtv", y, pipe_params["lm_head"]["kernel"]
+            )
+        mask = batch.get("attention_mask")
+        return _lm_loss_leading_dims(
             logits.astype(jnp.float32),
-            ids,
-            batch.get("attention_mask"),
+            idm,
+            None if mask is None else mask.reshape(M, B // M, T),
             include_padding=include_padding,
         )
 
     return loss
+
+
+def _lm_loss_leading_dims(logits, ids, mask, *, include_padding: bool):
+    """Shifted next-token CE over arbitrary leading dims.
+
+    Identical math to ``models.losses.causal_lm_loss`` (one global mean /
+    masked mean over every target position) for ``(M, b, T, V)``
+    microbatch-leading layouts — flattening to ``(B, T, V)`` instead
+    would reshape across the pp-sharded microbatch dim and force the
+    partitioner to regather the logits."""
+    logits = logits[..., :-1, :].astype(jnp.float32)
+    targets = ids[..., 1:]
+    logp = jax.nn.log_softmax(logits)
+    token_ll = jnp.take_along_axis(
+        logp, targets[..., None], axis=-1
+    ).squeeze(-1)
+    if mask is not None and not include_padding:
+        m = mask[..., 1:].astype(jnp.float32)
+        return -(token_ll * m).sum() / jnp.maximum(m.sum(), 1.0)
+    return -token_ll.mean()

@@ -110,3 +110,51 @@ def test_moe_curvature_stack():
     spec = ritz_decomposition(res)
     assert np.isfinite(np.asarray(spec.eigvals)).all()
     assert np.isfinite(np.asarray(spec.gammas)).all()
+
+
+def test_topk_equals_dense_when_k_is_E():
+    """top_k=E with full capacity routes every token to every expert with
+    its full softmax weight -> reduces to dense gating (models/moe.py::
+    _topk_moe docstring contract)."""
+    import dataclasses
+
+    cfg, model, params, batch = _moe_setup()
+    cfg_k = dataclasses.replace(cfg, moe_top_k=E, moe_capacity_factor=1.0)
+    # cap = ceil(E*N/E * 1.0) = N: every expert can hold every token
+    model_k = GPT2LMHead(cfg_k)
+    ids = batch["input_ids"]
+    y_dense = model.apply({"params": params}, ids)
+    y_topk = model_k.apply({"params": params}, ids)
+    np.testing.assert_allclose(
+        np.asarray(y_topk), np.asarray(y_dense), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_topk_sparse_forward_and_ep_sharding():
+    """k=1 routing: outputs are finite, differ from dense (sparse compute
+    drops E-1 expert mixes), grads flow, and the EP-sharded forward
+    matches the unsharded top-k forward."""
+    import dataclasses
+
+    cfg, _, params, batch = _moe_setup()
+    cfg_k = dataclasses.replace(cfg, moe_top_k=1, moe_capacity_factor=2.0)
+    model_k = GPT2LMHead(cfg_k)
+    ids = batch["input_ids"]
+    y = model_k.apply({"params": params}, ids)
+    assert bool(jnp.isfinite(y).all())
+
+    loss_fn = losses.lm_loss_fn(model_k)
+    g = jax.grad(loss_fn)(params, batch)
+    gn = float(
+        jnp.sqrt(
+            sum(jnp.vdot(x, x) for x in jax.tree_util.tree_leaves(g))
+        )
+    )
+    assert np.isfinite(gn) and gn > 0
+
+    mesh = make_ep_mesh(2, 4)
+    sharded = shard_params_for_ep(params, mesh)
+    y_sh = jax.jit(lambda p: model_k.apply({"params": p}, ids))(sharded)
+    np.testing.assert_allclose(
+        np.asarray(y_sh), np.asarray(y), rtol=1e-4, atol=1e-4
+    )

@@ -2,11 +2,9 @@
 
 CPU matmuls are f32-native (no bf16 tiers), so genuine precision error
 cannot be manufactured here; these tests drive the planner through its
-``make_loss_fn(block_spec)`` contract with synthetic per-layer
-perturbations that mimic the measured structure (error concentrated in
-EARLY blocks, artifacts/trained124m_r3/README.md).  The real-hardware
-behavior is cross-checked by bench.py's auto-precision section on every
-bench run.
+``make_loss_fn(spec)`` contract with synthetic perturbations that mimic
+the measured structure.  The real-hardware behavior is cross-checked by
+bench.py's auto-precision section on every bench run.
 """
 
 import jax
@@ -17,30 +15,40 @@ import pytest
 from hessian_llm_vision_tpu.krylov import (
     auto_precision_plan,
     escalation_prefixes,
+    op_split_candidates,
     prefix_block_spec,
+    spec_to_overrides,
 )
 
 N_LAYERS = 4
 DIM = 6
 
 
-def _make_loss_factory(layer_errs):
-    """Quadratic loss; each 'default'-precision layer i adds a rank-1
-    curvature perturbation of magnitude layer_errs[i] (the synthetic
-    stand-in for bf16 rounding in that block's matmuls)."""
+def _perturbation_weight(spec, layer_errs, op_errs):
+    """Synthetic error model mirroring the real precision semantics:
+    a block at 'default' contributes layer_errs[i]; an op-type running
+    at 'default' (blocks default AND no high override for it)
+    contributes op_errs[op]."""
+    overrides = spec if isinstance(spec, dict) else {
+        "block_matmul_precision": spec
+    }
+    bmp = overrides.get("block_matmul_precision")
+    per = list(bmp) if isinstance(bmp, (tuple, list)) else [bmp] * N_LAYERS
+    eps = sum(e for p, e in zip(per, layer_errs) if p == "default")
+    if any(p == "default" for p in per):
+        for op in ("attn_scores", "attn_matmul", "mlp_matmul"):
+            if overrides.get(f"{op}_precision") != "high":
+                eps += op_errs.get(op, 0.0)
+    return eps
+
+
+def _make_loss_factory(layer_errs, op_errs=None):
     base = jnp.diag(jnp.linspace(1.0, 3.0, DIM))
     u = jnp.ones((DIM,)) / np.sqrt(DIM)
+    op_errs = op_errs or {}
 
     def make_loss_fn(spec):
-        if spec is None:
-            per = [None] * N_LAYERS
-        elif isinstance(spec, str):
-            per = [spec] * N_LAYERS
-        else:
-            per = list(spec)
-        eps = sum(
-            e for p, e in zip(per, layer_errs) if p == "default"
-        )
+        eps = _perturbation_weight(spec, layer_errs, op_errs)
         H = base + eps * jnp.outer(u, u)
 
         def loss_fn(params, batch):
@@ -70,10 +78,17 @@ def test_prefix_block_spec():
     assert prefix_block_spec(4, 9) == "high"
 
 
+def test_spec_to_overrides():
+    assert spec_to_overrides(None) == {"block_matmul_precision": None}
+    assert spec_to_overrides("default") == {"block_matmul_precision": "default"}
+    d = {"block_matmul_precision": "default", "attn_scores_precision": "high"}
+    assert spec_to_overrides(d) == d
+
+
 def test_plan_picks_pure_mixed_when_clean():
     make = _make_loss_factory([0.0] * N_LAYERS)
     plan = auto_precision_plan(
-        make, _params(), None, N_LAYERS,
+        make, _params(), None,
         key=jax.random.PRNGKey(0), ritz_iters=DIM, tol=1e-3,
     )
     assert plan.block_precision == "default"
@@ -82,26 +97,42 @@ def test_plan_picks_pure_mixed_when_clean():
     assert len(plan.arms) == 1
 
 
-def test_plan_escalates_exactly_the_erring_prefix():
-    # early-block error dominates (the measured trained-ckpt structure):
-    # h_0 and h_1 each corrupt, h_2/h_3 are clean
+def test_prefix_ladder_escalates_exactly_the_erring_prefix():
+    # early-block error: h_0 and h_1 corrupt, h_2/h_3 clean
     make = _make_loss_factory([1.0, 0.5, 0.0, 0.0])
     plan = auto_precision_plan(
         make, _params(), None, N_LAYERS,
         key=jax.random.PRNGKey(0), ritz_iters=DIM, tol=1e-3,
+        prefixes=escalation_prefixes(N_LAYERS),
     )
     assert plan.block_precision == ("high", "high", "default", "default")
     assert plan.ritz_rel_err <= 1e-3
-    # probed mixed (fail), prefix1 (fail), prefix2 (pass)
     assert [a.ritz_rel_err <= 1e-3 for a in plan.arms] == [False, False, True]
 
 
-def test_plan_falls_back_to_strict_when_every_prefix_fails():
-    # error in the LAST layer: no prefix < L can fix it; strict (all
-    # blocks escalated) must win
-    make = _make_loss_factory([0.0, 0.0, 0.0, 1.0])
+def test_default_ladder_probes_op_splits():
+    # error owned by the attention-core matmuls: the scores arm (cheapest
+    # op split) must win, and the pure-mixed arm must fail first
+    make = _make_loss_factory([0.0] * N_LAYERS, op_errs={"attn_scores": 1.0})
     plan = auto_precision_plan(
-        make, _params(), None, N_LAYERS,
+        make, _params(), None,
+        key=jax.random.PRNGKey(0), ritz_iters=DIM, tol=1e-3,
+    )
+    assert isinstance(plan.block_precision, dict)
+    assert plan.block_precision["attn_scores_precision"] == "high"
+    assert plan.arms[0].ritz_rel_err > 1e-3  # mixed failed
+    assert plan.label == "mixed+scores-high"
+
+
+def test_plan_falls_back_to_strict_when_every_candidate_fails():
+    # error tied to 'default' blocks regardless of op splits: only the
+    # strict arm (spec None -> inherit outer 'high') removes it
+    make = _make_loss_factory(
+        [0.25] * N_LAYERS,
+        op_errs={"attn_scores": 1.0, "attn_matmul": 1.0, "mlp_matmul": 1.0},
+    )
+    plan = auto_precision_plan(
+        make, _params(), None,
         key=jax.random.PRNGKey(0), ritz_iters=DIM, tol=1e-3,
     )
     assert plan.block_precision is None
@@ -113,14 +144,22 @@ def test_plan_falls_back_to_strict_when_every_prefix_fails():
 def test_plan_requires_exactly_one_seed():
     make = _make_loss_factory([0.0] * N_LAYERS)
     with pytest.raises(ValueError, match="exactly one"):
-        auto_precision_plan(make, _params(), None, N_LAYERS)
+        auto_precision_plan(make, _params(), None)
+
+
+def test_plan_rejects_zero_iters():
+    make = _make_loss_factory([0.0] * N_LAYERS)
+    with pytest.raises(ValueError, match="ritz_iters"):
+        auto_precision_plan(
+            make, _params(), None, key=jax.random.PRNGKey(0), ritz_iters=0
+        )
 
 
 def test_plan_describe_mentions_every_arm():
-    make = _make_loss_factory([1.0, 0.0, 0.0, 0.0])
+    make = _make_loss_factory([1.0] * N_LAYERS)
     logs = []
     plan = auto_precision_plan(
-        make, _params(), None, N_LAYERS,
+        make, _params(), None,
         key=jax.random.PRNGKey(0), ritz_iters=DIM, tol=1e-3,
         log=logs.append,
     )
