@@ -626,18 +626,15 @@ def resolve_auto_precision(args, wl: Workload, attr: str = "hvp_precision",
         return wl
     from hessian_llm_vision_tpu.krylov import (
         auto_precision_plan,
-        op_split_candidates,
+        default_candidates,
         spec_to_overrides,
     )
 
     cfg = wl.model.config
-    # ladder: mixed first, then op-type splits where the config supports
-    # them (measured: depth-prefix escalation fails on trained ckpts —
-    # see krylov/autoprec.py::op_split_candidates)
-    candidates = [("mixed (all blocks 1-pass bf16)", "default")]
-    cfg_fields = {f.name for f in dataclasses.fields(cfg)}
-    if "attn_scores_precision" in cfg_fields:
-        candidates += op_split_candidates()
+    # measured cost-ordered ladder: mixed -> strict-high -> blocks-X6
+    # (krylov/autoprec.py::default_candidates; depth-prefix and 1-pass
+    # op-split arms all fail on trained ckpts without beating mixed)
+    candidates = default_candidates()
     plan = auto_precision_plan(
         factory,
         wl.params,

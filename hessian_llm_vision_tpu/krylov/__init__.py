@@ -32,6 +32,7 @@ from hessian_llm_vision_tpu.krylov.autoprec import (
     AutoPrecisionPlan,
     PrecisionArm,
     auto_precision_plan,
+    default_candidates,
     escalation_prefixes,
     op_split_candidates,
     prefix_block_spec,
@@ -63,6 +64,7 @@ __all__ = [
     "AutoPrecisionPlan",
     "PrecisionArm",
     "auto_precision_plan",
+    "default_candidates",
     "escalation_prefixes",
     "op_split_candidates",
     "prefix_block_spec",

@@ -1,40 +1,48 @@
-"""Auto precision: probe the checkpoint, escalate only the blocks that
-need it, fall back to strict — per run, not per model.
+"""Auto precision: probe the checkpoint, pick the fastest matmul
+precision whose spectrum is PROVABLY faithful — per run, not per model.
 
-Low-precision curvature error is CHECKPOINT-DEPENDENT (see
-``krylov.driver.matvec_precision_probe``): the "mixed" mode (all
-transformer blocks 1-pass bf16, vocab head + loss bf16x3) passes the
-1e-3 extreme-Ritz parity bar at random init yet inflates λmax 5.8× on
-the same GPT-2 124M after 2000 Adam steps
-(artifacts/trained124m_r3/README.md).  The per-block sweep of that
-checkpoint shows WHY the failure is structured: trained curvature is
-depth-ordered and embedding-dominated — wte/wpe block spectra reach
-±5.9e5, h_0 reaches ±7.6e4, while blocks h_4..h_11 stay O(1)-O(10).
-Extreme Hessian eigenvectors therefore route through the EARLY blocks'
-matmuls, whose bf16 rounding (relative error ~2^-8 of operands carrying
-10^5-scale curvature) corrupts the Krylov recurrence; the late blocks'
-contributions are 10^4-10^5× smaller and tolerate 1-pass bf16 at any
-checkpoint.
+Low-precision curvature error is CHECKPOINT-DEPENDENT: the "mixed" mode
+(all transformer blocks 1-pass bf16, vocab head + loss bf16x3) passes
+the 1e-3 extreme-Ritz parity bar at random init yet fabricates its
+trained-checkpoint extremes outright — certified at GPT-2 124M ckpt2000
+(artifacts/trained124m_r4/precision_arms.json): mixed's extreme Ritz
+vectors, re-evaluated under the f32 referee matvec, carry SIGN-FLIPPED
+near-zero Rayleigh quotients (relative residual 1.6) — rounding noise,
+not curvature.  Even "high" (bf16x3) errs 4.4e-1 there; round 3's
+trained spectra (λmax 3.7e5 at high) understated the true f32 value
+(1.88e6) 5.1×.  The same certification shows the error lives ENTIRELY
+in the transformer blocks' matmuls: blocks at the X6 dot algorithm
+(bf16 6-pass, ~f32 products) + embedding/head at high err 1.5e-4 —
+inside the bar at 11% less cost than all-X6 ("highest" itself lowers to
+X6 on v5e).
 
-This module turns that structure into a plan: probe a short T-only
-Lanczos in each candidate mode against an f32 ("highest") referee and
-pick the FASTEST candidate whose extreme-Ritz error meets the bar,
-escalating block precision front-to-back:
+Two methodology rules this module enforces (both measured the hard way):
 
-    mixed  →  h_0 high  →  h_0..h_1 high  →  h_0..h_2 high
-           →  h_0..h_{L/2-1} high  →  all blocks high (strict)
+* REORTHOGONALIZED probes only (``reorth=True``): the plain three-term
+  recurrence is chaotic at trained-checkpoint conditioning (κ~10⁷) —
+  no-reorth probe extremes disagree 4.4e-1 between two arms whose
+  reorthogonalized/full-job spectra agree to 1e-4, so a no-reorth probe
+  measures trajectory divergence, not operator error.
+* The decision quantity is extreme-Ritz error vs an f32 referee, and
+  ambiguous verdicts can be certified precision-independently via
+  Rayleigh quotients + residuals of the arm's Ritz vectors under the
+  referee matvec (examples/probe_precision_arms.py).
 
-Cost: ``ritz_iters`` HVPs per arm plus one compile per NEW precision
-configuration (compiles persist in the jax compilation cache, so reruns
-on the same checkpoint shape pay only the HVP probes).  The probe runs
-on ONE batch (the ``--precision_check`` convention): the dataset-mean
-operator is a convex combination of per-batch Hessians, so a per-batch
-precision failure is the same failure the averaged operator sees.
+The planner walks a cost-ordered candidate ladder
+(:func:`default_candidates`: mixed → strict-high → blocks-X6) and
+returns the FIRST arm meeting ``tol``, falling back to the referee's own
+precision.  Cost: ``ritz_iters`` HVPs per arm plus one compile per NEW
+precision configuration (compiles persist in the jax compilation cache,
+so reruns on the same checkpoint shape pay only the HVP probes).  The
+probe runs on ONE batch (the ``--precision_check`` convention): the
+dataset-mean operator is a convex combination of per-batch Hessians, so
+a per-batch precision failure is the same failure the averaged operator
+sees.
 
 Reference role: none — the reference's CUDA matmuls are f32-native and
 never faced this choice (SURVEY.md §2.6); on TPU the bf16 speed tiers
 make precision a measured, per-checkpoint decision, and this module is
-what makes the FAST tier safe to default to (``--hvp_precision auto``).
+what makes fast tiers safe to default to (``--hvp_precision auto``).
 """
 
 from __future__ import annotations
@@ -100,16 +108,51 @@ def spec_to_overrides(spec) -> dict:
     return {"block_matmul_precision": spec}
 
 
-def op_split_candidates(fast: str = "default", escalate: str = "high"):
-    """Op-type escalation arms, cheapest first.
+#: bf16 6-pass dot algorithm: ~f32 product accuracy at 2x the MXU passes
+#: of "high".  Measured on v5e at GPT-2 124M trained ckpt2000 (certified
+#: via Rayleigh quotients + residuals of each arm's extreme Ritz pairs
+#: under the f32 referee matvec, artifacts/trained124m_r4/):
+#:   * "highest" LOWERS TO X6 on this hardware (bit-identical spectra,
+#:     identical ms/HVP);
+#:   * blocks at X6 + embedding/head at "high": err 1.5e-4 — PASSES;
+#:   * blocks at "high" (3-pass): err 4.4e-1 regardless of head
+#:     precision — the trained-ckpt error lives ENTIRELY in the blocks'
+#:     matmul precision, and 3-pass is NOT enough there;
+#:   * mixed (blocks 1-pass): err 0.53, and its extreme Ritz vectors
+#:     carry sign-flipped ~0 true curvature (fabricated noise).
+X6 = "BF16_BF16_F32_X6"
 
-    Measured motivation (trained GPT-2 124M, ckpt2000): DEPTH-prefix
-    escalation fails — extreme-Ritz error stays O(0.1–10) for every
-    prefix < L (h_0: 10.9, h_0..2: 7.46, half-depth: 0.159 vs referee) —
-    so the escalation axis must be WHICH matmuls inside every block run
-    1-pass bf16, not which blocks.  The attention-core einsums (q·k
-    scores feeding softmax, att·v) are ~5% of block FLOPs; the qkv/proj
-    Denses ~40%; the MLP ~55%.
+
+def default_candidates(fast: str = "default", escalate: str = "high"):
+    """The measured cost-ordered auto ladder.
+
+    mixed (77 ms/HVP at 124M bs4) → strict blocks-high (113 ms) →
+    blocks-X6 + head high (165 ms, the trained-checkpoint accuracy floor
+    below full X6) — then the planner's built-in "highest" referee
+    fallback (= X6 everywhere on v5e, 185 ms).  Depth-prefix and 1-pass
+    op-split arms are NOT in the default ladder: measured on the trained
+    124M checkpoint they all fail the bar without ever beating mixed's
+    cost (see module docstring / artifacts/trained124m_r4/).
+    """
+    return [
+        ("mixed (all blocks 1-pass bf16)", fast),
+        (f"strict (all blocks {escalate})", None),
+        (
+            "blocks-X6 + head " + escalate,
+            {"block_matmul_precision": X6},
+        ),
+    ]
+
+
+def op_split_candidates(fast: str = "default", escalate: str = "high"):
+    """1-pass op-type escalation arms, cheapest first (opt-in).
+
+    Measured on the trained 124M checkpoint: NONE of these pass the
+    parity bar (the error needs X6-grade block matmuls, not selective
+    3-pass escalation), so they are no longer in the default ladder —
+    kept for custom ladders and mid-regime studies.  The attention-core
+    einsums (q·k scores feeding softmax, att·v) are ~5% of block FLOPs;
+    the qkv/proj Denses ~40%; the MLP ~55%.
     """
     return [
         (
@@ -290,10 +333,17 @@ def auto_precision_plan(
                 for b in prefixes
             ]
         else:
-            candidates = [("mixed (all blocks 1-pass bf16)", fast)]
-            candidates += op_split_candidates(fast=fast, escalate=escalate)
+            candidates = default_candidates(fast=fast, escalate=escalate)
+    tried_strict = False
     for label, spec in candidates:
-        arm = try_arm(label, spec, outer_precision)
+        try:
+            arm = try_arm(label, spec, outer_precision)
+        except Exception as e:  # e.g. backend rejects a dot algorithm
+            say(f"[auto-precision] {label}: SKIPPED ({type(e).__name__}: {e})")
+            continue
+        tried_strict = tried_strict or (
+            spec is None or spec == escalate
+        )
         if arm.ritz_rel_err <= tol:
             return AutoPrecisionPlan(
                 block_precision=arm.block_precision,
@@ -305,16 +355,18 @@ def auto_precision_plan(
             )
 
     # strict fallback: every block escalated, outer precision unchanged
-    arm = try_arm(f"strict (all blocks {escalate})", None, outer_precision)
-    if arm.ritz_rel_err <= tol:
-        return AutoPrecisionPlan(
-            block_precision=None,
-            hvp_precision=outer_precision,
-            label=arm.label,
-            ritz_rel_err=arm.ritz_rel_err,
-            referee_extremes=ref_ext,
-            arms=tuple(arms),
-        )
+    # (skipped when the candidate list already probed it)
+    if not tried_strict:
+        arm = try_arm(f"strict (all blocks {escalate})", None, outer_precision)
+        if arm.ritz_rel_err <= tol:
+            return AutoPrecisionPlan(
+                block_precision=None,
+                hvp_precision=outer_precision,
+                label=arm.label,
+                ritz_rel_err=arm.ritz_rel_err,
+                referee_extremes=ref_ext,
+                arms=tuple(arms),
+            )
 
     # last resort: the referee's own precision (err 0 by definition)
     say(

@@ -110,27 +110,10 @@ def test_prefix_ladder_escalates_exactly_the_erring_prefix():
     assert [a.ritz_rel_err <= 1e-3 for a in plan.arms] == [False, False, True]
 
 
-def test_default_ladder_probes_op_splits():
-    # error owned by the attention-core matmuls: the scores arm (cheapest
-    # op split) must win, and the pure-mixed arm must fail first
-    make = _make_loss_factory([0.0] * N_LAYERS, op_errs={"attn_scores": 1.0})
-    plan = auto_precision_plan(
-        make, _params(), None,
-        key=jax.random.PRNGKey(0), ritz_iters=DIM, tol=1e-3,
-    )
-    assert isinstance(plan.block_precision, dict)
-    assert plan.block_precision["attn_scores_precision"] == "high"
-    assert plan.arms[0].ritz_rel_err > 1e-3  # mixed failed
-    assert plan.label == "mixed+scores-high"
-
-
-def test_plan_falls_back_to_strict_when_every_candidate_fails():
-    # error tied to 'default' blocks regardless of op splits: only the
-    # strict arm (spec None -> inherit outer 'high') removes it
-    make = _make_loss_factory(
-        [0.25] * N_LAYERS,
-        op_errs={"attn_scores": 1.0, "attn_matmul": 1.0, "mlp_matmul": 1.0},
-    )
+def test_default_ladder_escalates_to_strict():
+    # error tied to 'default' blocks: mixed fails, the strict rung of the
+    # default ladder (mixed -> strict -> blocks-X6) wins
+    make = _make_loss_factory([0.25] * N_LAYERS)
     plan = auto_precision_plan(
         make, _params(), None,
         key=jax.random.PRNGKey(0), ritz_iters=DIM, tol=1e-3,
@@ -138,7 +121,50 @@ def test_plan_falls_back_to_strict_when_every_candidate_fails():
     assert plan.block_precision is None
     assert plan.hvp_precision == "high"
     assert "strict" in plan.label
+    assert plan.arms[0].ritz_rel_err > 1e-3  # mixed failed first
     assert plan.ritz_rel_err <= 1e-3
+
+
+def test_custom_candidates_pick_cheapest_passing_op_split():
+    # error owned by the attention-core matmuls: with an explicit op-split
+    # ladder the scores arm (cheapest) must win after mixed fails
+    from hessian_llm_vision_tpu.krylov import op_split_candidates
+
+    make = _make_loss_factory([0.0] * N_LAYERS, op_errs={"attn_scores": 1.0})
+    cands = [("mixed", "default")] + op_split_candidates()
+    plan = auto_precision_plan(
+        make, _params(), None,
+        key=jax.random.PRNGKey(0), ritz_iters=DIM, tol=1e-3,
+        candidates=cands,
+    )
+    assert isinstance(plan.block_precision, dict)
+    assert plan.block_precision["attn_scores_precision"] == "high"
+    assert plan.arms[0].ritz_rel_err > 1e-3  # mixed failed
+    assert plan.label == "mixed+scores-high"
+
+
+def test_failing_candidate_arm_is_skipped_not_fatal():
+    # an arm whose loss factory raises (e.g. backend rejects the dot
+    # algorithm) is skipped with a log, not a crash
+    base = _make_loss_factory([1.0] * N_LAYERS)
+
+    def make(spec):
+        if isinstance(spec, dict):
+            raise RuntimeError("algorithm unsupported")
+        return base(spec)
+
+    logs = []
+    plan = auto_precision_plan(
+        make, _params(), None,
+        key=jax.random.PRNGKey(0), ritz_iters=DIM, tol=1e-3,
+        log=logs.append,
+        candidates=[
+            ("x6-arm", {"block_matmul_precision": "BF16_BF16_F32_X6"}),
+            ("strict (all blocks high)", None),
+        ],
+    )
+    assert "strict" in plan.label
+    assert any("SKIPPED" in line for line in logs)
 
 
 def test_plan_requires_exactly_one_seed():
