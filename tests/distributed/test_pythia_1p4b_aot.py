@@ -84,3 +84,74 @@ def test_tp_grad_and_hvp_compile_at_scale(name):
     )
     compiled_hvp = lowered_hvp.compile()
     assert compiled_hvp is not None
+
+
+@pytest.mark.parametrize("name", ["pythia-1.4b"])
+def test_combined_tp_fused_spectrum_and_sharded_basis_at_scale(name):
+    """The COMBINED 1.4B spectrum configuration (VERDICT r3 item 8):
+    TP-sharded parameters x P-sharded flat Krylov vectors through the
+    fused donating Lanczos step (the host-loop program the LLM artifacts
+    actually dispatch, krylov/driver.py) PLUS the CGS2 reorth step with
+    the (k, P) basis buffer sharded over the whole mesh.  AOT-compiled on
+    the 8-device mesh with per-device memory accounting asserted."""
+    from hessian_llm_vision_tpu.krylov.driver import (
+        _jitted_fused_lanczos_step,
+        _jitted_reorth_recurrence_step,
+    )
+    from hessian_llm_vision_tpu.utils.flatten import Flattener
+
+    cfg = PYTHIA_CONFIGS[name]
+    model = NeoXLMHead(cfg)
+    mesh = make_mesh(num_data=2, num_model=4)
+    loss_fn = losses.lm_loss_fn(model)
+    abstract_params = _abstract_params(model, cfg, mesh)
+    fl = Flattener(abstract_params)  # abstract template: shapes only
+    assert fl.size > 1.4e9
+
+    vec_sh = NamedSharding(mesh, P(("data", "model")))
+    q_abs = jax.ShapeDtypeStruct((fl.size,), jnp.float32, sharding=vec_sh)
+    beta_abs = jax.ShapeDtypeStruct((), jnp.float32)
+    batch_abs = {
+        "input_ids": jax.ShapeDtypeStruct(
+            (8, 128), jnp.int32,
+            sharding=NamedSharding(mesh, P("data", None)),
+        )
+    }
+
+    # 1) fused T-only step: HVP + three-term recurrence, donated buffers
+    step = _jitted_fused_lanczos_step(loss_fn, "mean", "high", fl)
+    compiled = step.lower(
+        q_abs, q_abs, beta_abs, abstract_params, batch_abs
+    ).compile()
+    mem = compiled.memory_analysis()
+    per_dev_args = mem.argument_size_in_bytes
+    # TP params 5.66/4 GB + two P-sharded f32 vectors 2*5.66/8 GB + batch
+    # ~= 2.9 GB/device; unsharded would be 17 GB
+    assert per_dev_args < 3.5e9, f"combined args not sharded: {per_dev_args/1e9:.2f} GB"
+    # temp bytes on the forced-host platform aggregate ALL 8 simulated
+    # devices into one process; report per-device accounting (committed:
+    # artifacts/pythia1p4b_r4/combined_memory.json) and bound the
+    # aggregate loosely
+    print(
+        f"[1.4b combined] args/device {per_dev_args/1e9:.2f} GB, "
+        f"temp (8-device aggregate) {mem.temp_size_in_bytes/1e9:.2f} GB"
+    )
+    assert mem.temp_size_in_bytes < 8 * 16e9
+
+    # 2) reorth step: CGS2 against a (k, P) bf16 basis sharded over the
+    # full mesh on the P axis (34 GB at k=6 f32 -> 17 GB bf16 -> 2.1
+    # GB/device across 8)
+    k = 6
+    rstep = _jitted_reorth_recurrence_step(k, jnp.bfloat16)
+    Q_abs = jax.ShapeDtypeStruct(
+        (k, fl.size), jnp.bfloat16,
+        sharding=NamedSharding(mesh, P(None, ("data", "model"))),
+    )
+    i_abs = jax.ShapeDtypeStruct((), jnp.int32)
+    compiled_r = rstep.lower(
+        q_abs, Q_abs, i_abs, q_abs, q_abs, beta_abs
+    ).compile()
+    mem_r = compiled_r.memory_analysis()
+    # 3 P-sharded f32 vectors (~2.1 GB) + bf16 basis shard (~2.1 GB);
+    # measured 4.24 GB/device — unsharded this step would carry 34 GB
+    assert mem_r.argument_size_in_bytes < 4.5e9
