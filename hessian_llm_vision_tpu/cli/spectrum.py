@@ -608,14 +608,33 @@ def main(argv=None):
         # same v0 by construction (not by replaying the internal RNG)
         v0 = jax.random.normal(key, (op.dim,), jnp.float32)
         v0 = v0 / jnp.linalg.norm(v0)
-        res = lanczos_thick_restart(
-            op.matvec, op.dim, args.thick_restart, v0=v0,
-            inner=args.lanczos_iters, which=args.tr_which, progress=True,
-            tol=args.tr_tol,
-            store_dtype=jnp.bfloat16
-            if args.tr_dtype == "bfloat16"
-            else jnp.float32,
+        tr_dtype = (
+            jnp.bfloat16 if args.tr_dtype == "bfloat16" else jnp.float32
         )
+        if args.operator == "hessian" and not args.layer:
+            # fused fast path: one donating program per inner iteration
+            # (matvec + CGS2 + row write), scalars fetched once per
+            # restart cycle — 22x the unfused dispatch economics at 124M
+            # through the tunnel (krylov/driver.py::dataset_thick_restart_host)
+            from hessian_llm_vision_tpu.krylov.driver import (
+                dataset_thick_restart_host,
+            )
+
+            res = dataset_thick_restart_host(
+                wl.loss_fn, wl.params, wl.batches, args.thick_restart,
+                v0=v0, inner=args.lanczos_iters,
+                normalization=args.normalization,
+                batch_size=wl.batch_size,
+                precision=args.hvp_precision,
+                which=args.tr_which, tol=args.tr_tol,
+                store_dtype=tr_dtype, progress=True,
+            )
+        else:
+            res = lanczos_thick_restart(
+                op.matvec, op.dim, args.thick_restart, v0=v0,
+                inner=args.lanczos_iters, which=args.tr_which,
+                progress=True, tol=args.tr_tol, store_dtype=tr_dtype,
+            )
         # gammas = (u_i . v0)^2: the probe's true spectral-measure weight
         # on each CONVERGED eigenvector (what SLQ gammas estimate) — a
         # PARTIAL measure over k pairs, not the unit SLQ weight vector

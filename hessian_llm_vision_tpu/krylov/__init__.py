@@ -6,6 +6,7 @@ from hessian_llm_vision_tpu.krylov.lanczos import (
 from hessian_llm_vision_tpu.krylov.host_lanczos import lanczos_host_basis
 from hessian_llm_vision_tpu.krylov.driver import (
     dataset_spectrum_host,
+    dataset_thick_restart_host,
     layerwise_spectrum_host,
     matvec_precision_probe,
 )
@@ -60,6 +61,7 @@ __all__ = [
     "ThickRestartResult",
     "lanczos_host_basis",
     "dataset_spectrum_host",
+    "dataset_thick_restart_host",
     "layerwise_spectrum_host",
     "AutoPrecisionPlan",
     "PrecisionArm",

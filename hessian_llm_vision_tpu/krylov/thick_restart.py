@@ -48,10 +48,11 @@ class ThickRestartResult(NamedTuple):
     matvecs: int
 
 
-@jax.jit
-def _orth_step(Q, w, n_filled):
+def _orth_body(Q, w, n_filled):
     """CGS2-orthogonalize f32 ``w`` against the first ``n_filled`` rows of
-    the (m+1, P) buffer ``Q`` (any storage dtype).
+    the (m+1, P) buffer ``Q`` (any storage dtype).  Pure function — jitted
+    standalone as :func:`_orth_step` and inlined into the fused
+    thick-restart step (``krylov.driver._jitted_fused_trlan_step``).
 
     Returns ``(w, norm_after, norm_before)`` — the before/after ratio is
     the numerically meaningful breakdown detector (an absolute threshold
@@ -77,6 +78,9 @@ def _orth_step(Q, w, n_filled):
             preferred_element_type=jnp.float32,
         )
     return w, jnp.linalg.norm(w), nrm0
+
+
+_orth_step = jax.jit(_orth_body)
 
 
 @partial(jax.jit, donate_argnums=0)
@@ -131,7 +135,7 @@ def _select(theta: np.ndarray, k: int, which: str) -> np.ndarray:
 
 
 def lanczos_thick_restart(
-    matvec: Callable[[jax.Array], jax.Array],
+    matvec: Optional[Callable[[jax.Array], jax.Array]],
     dim: int,
     k: int,
     *,
@@ -144,6 +148,7 @@ def lanczos_thick_restart(
     store_dtype=jnp.float32,
     basis_sharding=None,
     progress: bool = False,
+    fused_step_factory: Optional[Callable[[int], Callable]] = None,
 ) -> ThickRestartResult:
     """Converged k extremal eigenpairs with an (inner+1, P) basis buffer.
 
@@ -158,9 +163,22 @@ def lanczos_thick_restart(
     CGS2 contractions run as local partials + psum over ICI, and the
     returned Ritz vectors stay P-sharded.  P is zero-padded to the shard
     divisor; the pad provably stays zero through the recurrence.
+
+    ``fused_step_factory``: the LLM-scale fast path.  Called once with the
+    computed P-pad, must return ``step(Q, j, key) -> (Q, alpha, beta)`` —
+    ONE donating program running matvec + α + CGS2 + breakdown redirect +
+    the row-(j+1) write (``krylov.driver._jitted_fused_trlan_step``).  The
+    host loop then dispatches one program per inner iteration and fetches
+    the (α, β) scalars ONCE per restart cycle, instead of the unfused
+    path's ~4 programs + 3 blocking host round-trips per iteration — on
+    the high-latency TPU tunnel that round-trip tax made the r3 unfused
+    run 22× the fused bench loop's per-HVP cost (artifacts/trlan124m_r3,
+    VERDICT r3 #4).  ``matvec`` may be None in this mode.
     """
     if (v0 is None) == (key is None):
         raise ValueError("pass exactly one of v0 / key")
+    if matvec is None and fused_step_factory is None:
+        raise ValueError("pass matvec or fused_step_factory")
     # Host-driven loop: the matvec must already be backed by ONE cached
     # compiled program (every curvature/ operator matvec is — explicit
     # params/batch jit args).  Do NOT re-wrap it in jax.jit here: tracing
@@ -192,13 +210,17 @@ def lanczos_thick_restart(
         if div > 1 and dim % div:
             pad = div - dim % div
     if pad:
-        inner_matvec = matvec
+        if matvec is not None:
+            inner_matvec = matvec
 
-        def matvec(v):  # noqa: F811
-            return jnp.pad(inner_matvec(v[:true_dim]), (0, pad))
+            def matvec(v):  # noqa: F811
+                return jnp.pad(inner_matvec(v[:true_dim]), (0, pad))
 
         q = jnp.pad(q, (0, pad))
         dim = dim + pad
+    fused_step = (
+        fused_step_factory(pad) if fused_step_factory is not None else None
+    )
 
     def _new_buffer():
         """(m+1, dim) zeros, created DIRECTLY sharded (a replicated-then-
@@ -225,28 +247,46 @@ def lanczos_thick_restart(
         B[:n_ret, n_ret] = s
         B[n_ret, :n_ret] = s
         beta = 0.0
-        for j in range(n_ret, m):
-            w = matvec(jnp.asarray(Q[j], jnp.float32))
-            n_mv += 1
-            alpha = float(jnp.vdot(jnp.asarray(Q[j], jnp.float32), w))
-            B[j, j] = alpha
-            w, nrm, nrm0 = _orth_step(Q, w, j + 1)
-            beta = float(nrm)
-            if beta <= 1e-5 * max(float(nrm0), 1e-30):
-                # invariant subspace (what remains of A q is f32 roundoff):
-                # zero the coupling and continue in a fresh random direction
-                beta = 0.0
-                rng_key, sub = jax.random.split(rng_key)
-                w = jax.random.normal(sub, (dim,), jnp.float32)
-                if pad:
-                    # the fresh direction must live in the true subspace —
-                    # a nonzero pad component would poison every later
-                    # orthogonalization coefficient
-                    w = w.at[true_dim:].set(0.0)
-                w, nrm, _ = _orth_step(Q, w, j + 1)
-            if j < m - 1:
-                B[j, j + 1] = B[j + 1, j] = beta
-            Q = _set_row(Q, j + 1, w / jnp.maximum(nrm, _EPS))
+        if fused_step is not None:
+            # one donating program per iteration, scalars fetched ONCE per
+            # cycle (the breakdown redirect runs in-program, flagged by
+            # beta == 0 exactly as the unfused branch records it)
+            rng_key, *subs = jax.random.split(rng_key, m - n_ret + 1)
+            dev_ab = []
+            for j in range(n_ret, m):
+                Q, a_dev, b_dev = fused_step(Q, j, subs[j - n_ret])
+                n_mv += 1
+                dev_ab.append(jnp.stack([a_dev, b_dev]))
+            ab = np.asarray(jnp.stack(dev_ab), np.float64)
+            for j in range(n_ret, m):
+                B[j, j] = ab[j - n_ret, 0]
+                if j < m - 1:
+                    B[j, j + 1] = B[j + 1, j] = ab[j - n_ret, 1]
+            beta = float(ab[-1, 1])
+        else:
+            for j in range(n_ret, m):
+                w = matvec(jnp.asarray(Q[j], jnp.float32))
+                n_mv += 1
+                alpha = float(jnp.vdot(jnp.asarray(Q[j], jnp.float32), w))
+                B[j, j] = alpha
+                w, nrm, nrm0 = _orth_step(Q, w, j + 1)
+                beta = float(nrm)
+                if beta <= 1e-5 * max(float(nrm0), 1e-30):
+                    # invariant subspace (what remains of A q is f32
+                    # roundoff): zero the coupling and continue in a fresh
+                    # random direction
+                    beta = 0.0
+                    rng_key, sub = jax.random.split(rng_key)
+                    w = jax.random.normal(sub, (dim,), jnp.float32)
+                    if pad:
+                        # the fresh direction must live in the true
+                        # subspace — a nonzero pad component would poison
+                        # every later orthogonalization coefficient
+                        w = w.at[true_dim:].set(0.0)
+                    w, nrm, _ = _orth_step(Q, w, j + 1)
+                if j < m - 1:
+                    B[j, j + 1] = B[j + 1, j] = beta
+                Q = _set_row(Q, j + 1, w / jnp.maximum(nrm, _EPS))
 
         evals, S = np.linalg.eigh(B)  # ascending
         resid = np.abs(beta * S[m - 1, :])

@@ -81,3 +81,35 @@ def test_buffer_actually_sharded():
     shards = res.vectors.addressable_shards
     assert len(shards) == 8
     assert all(s.data.shape == (3, dim // 8) for s in shards)
+
+
+def test_fused_trlan_sharded_pads_indivisible_dim():
+    """The fused-step path (one donating program per inner iteration,
+    krylov.driver._jitted_fused_trlan_step) under a P-sharded buffer with
+    a pad: the in-program HVP must slice the true subspace, re-pad the
+    matvec, and keep the fresh-direction redirect inside it."""
+    from hessian_llm_vision_tpu.krylov.driver import (
+        dataset_thick_restart_host,
+    )
+
+    dim = 61  # 61 % 8 != 0 -> pad path
+    rng = np.random.RandomState(3)
+    a = rng.randn(dim, dim).astype(np.float32)
+    M = (a + a.T) / 2.0
+    ev_dense = np.linalg.eigvalsh(M.astype(np.float64))
+    mesh = make_mesh(8)
+
+    def loss(params, batch):
+        return 0.5 * params @ (batch["A"] @ params)
+
+    res = dataset_thick_restart_host(
+        loss, jnp.zeros((dim,), jnp.float32), [{"A": jnp.asarray(M)}], 3,
+        key=jax.random.PRNGKey(2), inner=16, normalization="mean",
+        precision=None, basis_sharding=basis_sharding(mesh),
+    )
+    assert res.converged
+    assert res.vectors.shape == (3, dim)
+    np.testing.assert_allclose(
+        np.sort(np.abs(res.eigvals)), np.sort(np.abs(ev_dense))[-3:],
+        rtol=1e-4,
+    )
