@@ -14,7 +14,12 @@ trained spectra (λmax 3.7e5 at high) understated the true f32 value
 in the transformer blocks' matmuls: blocks at the X6 dot algorithm
 (bf16 6-pass, ~f32 products) + embedding/head at high err 1.5e-4 —
 inside the bar at 11% less cost than all-X6 ("highest" itself lowers to
-X6 on v5e).
+X6 on v5e).  A second attribution pass (probe_precision_arms2.py,
+artifacts/trained124m_r4/precision_arms2.json) shows the X6 requirement
+is NOT separable within the block: attention-sublayer-only X6 errs
+1.35e-2 (30× better than strict-high but still failing), MLP-only X6
+errs 0.40, scores-only 0.33 — both sublayers' matmuls need the 6-pass
+algorithm, so blocks-X6 is the minimal passing granularity.
 
 Two methodology rules this module enforces (both measured the hard way):
 
