@@ -441,6 +441,100 @@ def main() -> None:
     T_f = _np.diag(a_f) + _np.diag(b_f, 1) + _np.diag(b_f, -1)
     ev_fast = _np.linalg.eigvalsh(T_f)
 
+    # ---- trained-checkpoint cross-check (auto mode's faithful tier) ------
+    # The reference's core workload is the TRAINED-checkpoint spectrum
+    # (gpt2_savehessian.py:202-235 runs on model_trained.pt), where every
+    # bf16 tier below the 6-pass X6 dot algorithm fabricates the extremes
+    # (even strict bf16x3 errs 4.4e-1; artifacts/trained124m_r4/).  This
+    # section re-certifies the auto ladder's verdicts on the committed
+    # 2000-step Adam checkpoint EVERY bench run: mixed must FAIL loudly,
+    # blocks-X6 must pass the 1e-3 extreme-Ritz bar, and its throughput is
+    # the honest trained-spectrum speed (the probe shapes mirror
+    # examples/probe_precision_arms.py so compiles ride the cache).
+    trained_check = None
+    try:
+        import dataclasses
+        import os as _os
+
+        ckpt = _os.path.join(
+            _os.path.dirname(_os.path.abspath(__file__)),
+            "artifacts", "trained124m_r4", "ckpt2000",
+        )
+        if _os.path.isdir(ckpt):
+            from hessian_llm_vision_tpu.data import load_local_corpus
+            from hessian_llm_vision_tpu.io import load_checkpoint
+            from hessian_llm_vision_tpu.krylov import matvec_precision_probe
+            from hessian_llm_vision_tpu.krylov.autoprec import X6
+
+            cfg_probe = GPT2Config.gpt2_124m(n_positions=seq_len)
+            model_ref = GPT2LMHead(cfg_probe)
+            tparams = load_checkpoint(
+                ckpt,
+                template=model_ref.init_params(
+                    jax.random.PRNGKey(0), seq_len=16
+                ),
+            )
+            corpus = load_local_corpus(
+                "/usr/local/lib/python3.12", max_length=seq_len,
+                batch_size=4, seed=42,
+            )
+            tbatch = {"input_ids": jnp.asarray(corpus["input_ids"][0])}
+            loss_ref = losses.lm_loss_fn(model_ref)
+
+            def probe(spec):
+                m = GPT2LMHead(
+                    dataclasses.replace(
+                        cfg_probe, block_matmul_precision=spec
+                    )
+                )
+                return matvec_precision_probe(
+                    losses.lm_loss_fn(m), tparams, tbatch,
+                    key=jax.random.PRNGKey(101), precision="high",
+                    referee_loss_fn=loss_ref, ritz_iters=10,
+                )
+
+            s_mixed = probe("default")
+            s_x6 = probe(X6)
+            trained_check = {
+                "checkpoint": "artifacts/trained124m_r4/ckpt2000 "
+                "(124M, 2000 Adam steps, byte-level local corpus)",
+                "mixed_ritz_rel_err": round(s_mixed["ritz_rel_err"], 6),
+                "blocks_x6_ritz_rel_err": round(s_x6["ritz_rel_err"], 6),
+                "blocks_x6_hvps_per_sec_bs4": round(
+                    1.0 / s_x6["seconds_requested"], 2
+                ),
+                "referee_hvps_per_sec_bs4": round(
+                    1.0 / s_x6["seconds_referee"], 2
+                ),
+                "mixed_hvps_per_sec_bs4": round(
+                    1.0 / s_mixed["seconds_requested"], 2
+                ),
+                "referee_extremes": [
+                    float(x) for x in s_x6["ritz_extremes_referee"]
+                ],
+                "ladder_ok": bool(
+                    s_mixed["ritz_rel_err"] > 1e-3
+                    and s_x6["ritz_rel_err"] <= 1e-3
+                ),
+                "note": "--hvp_precision auto escalates to blocks-X6 here; "
+                "every cheaper tier (incl. strict bf16x3) fabricates the "
+                "trained-ckpt extremes — the faithful-floor measurement, "
+                "re-certified each bench run",
+            }
+            if not trained_check["ladder_ok"]:
+                print(
+                    "[bench] WARNING: trained-ckpt precision ladder verdict "
+                    f"changed: mixed err {s_mixed['ritz_rel_err']:.3e}, "
+                    f"blocks-X6 err {s_x6['ritz_rel_err']:.3e}",
+                    file=_sys.stderr,
+                )
+            del tparams
+    except Exception as e:  # never lose the headline to the cross-check
+        print(
+            f"[bench] trained-ckpt check skipped: {type(e).__name__}: {e}",
+            file=_sys.stderr,
+        )
+
     num_hvps = iters * num_batches
     result = {
         "metric": "gpt2_124m_35iter_lanczos_spectrum_wallclock_single_chip",
@@ -500,6 +594,7 @@ def main() -> None:
             "1-pass blocks with a 3-pass vocab head => effective peak "
             f"~{peak_mixed:.0f} TF/s (strict bf16x3: ~66 TF/s)",
             "top_ops": top_ops,
+            "trained_ckpt_precision_check": trained_check,
             "flagship_124m_training": flagship,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
