@@ -85,7 +85,14 @@ def main():
         f"(incl. compile)"
     )
 
-    # timed SECOND run, fully warm (the honest wall-clock: artifact claim)
+    # timed SECOND run, fully warm (the honest wall-clock: artifact claim).
+    # Drop the first run's (k, P) Ritz block FIRST: holding 2.5 GB of f32
+    # vectors next to the fresh 4 GB basis + the bs8 HVP working set OOMs
+    # the chip (measured).
+    del res
+    import gc
+
+    gc.collect()
     t0 = time.perf_counter()
     res = dataset_thick_restart_host(
         loss_fn, params, batches, k,

