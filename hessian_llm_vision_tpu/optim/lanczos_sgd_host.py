@@ -151,13 +151,17 @@ class HostLanczosSGDTrainer:
 
         basis_dtype = self.basis_dtype
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
+        @jax.jit
         def rotate(evecs, basis):
             # Ritz rotation S^T Q: inputs stay in basis_dtype and the MXU
             # emits basis_dtype directly — materializing a f32 (k, P)
             # intermediate is a ~5 GB transient at 124M that tips the EMA
             # refresh over HBM; a k<=~100-term dot loses nothing real in
-            # bf16 output.  The recurrence buffer is donated (dead after).
+            # bf16 output.  NOT donated: a dot operand can never alias its
+            # own output, so donating the buffer only produced the
+            # "donated buffers were not usable" warning — peak here is
+            # basis + V either way, and the caller's reference dies right
+            # after this call.
             return jnp.einsum(
                 "ij,jp->ip",
                 evecs.astype(basis.dtype),
@@ -183,10 +187,13 @@ class HostLanczosSGDTrainer:
 
         m = config.lanczos_momentum
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def ema_blend(old, new):
-            # elementwise, fused — no f32 (k, P) materialization; both
-            # inputs are dead after the blend, so both donate
+            # elementwise, fused — no f32 (k, P) materialization.  Only
+            # ONE input can alias the single output, so only `old` is
+            # donated (donating both produced the "donated buffers were
+            # not usable" warning); `new` dies with the caller's
+            # reference right after the call either way
             return (
                 m * old.astype(jnp.float32) + (1.0 - m) * new.astype(jnp.float32)
             ).astype(basis_dtype)
