@@ -102,6 +102,31 @@ def _rotate(Q, S_kept):
     )
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _restart_rotate(Q, S_pad):
+    """Whole thick restart of the basis buffer in ONE donating program:
+    rows 0..kk-1 ← (S_padᵀ Q) in the storage dtype, row kk ← the old row
+    m (the (m+1)-th Lanczos vector), rest zero.
+
+    Fused-path companion of the `_rotate_one` row loop below: the row
+    loop costs kk+1 tunnel dispatches per restart (~9% of the 124M
+    fused-run wall); here the rotation emits the storage dtype straight
+    from the MXU (contraction over m+1 ≤ ~64 terms — bf16 output loses
+    nothing real, the host-trainer `rotate` convention), so the peak is
+    the donated Q + one (kk, P) store-dtype block."""
+    kk = S_pad.shape[1]
+    if Q.dtype == jnp.float32:
+        W = S_pad.T @ Q
+    else:
+        W = jnp.matmul(
+            S_pad.T.astype(Q.dtype), Q, preferred_element_type=Q.dtype
+        )
+    q_last = Q[Q.shape[0] - 1]
+    out = jnp.zeros_like(Q)
+    out = jax.lax.dynamic_update_slice(out, W.astype(Q.dtype), (0, 0))
+    return jax.lax.dynamic_update_slice(out, q_last[None], (kk, 0))
+
+
 @partial(jax.jit, static_argnames="out_dtype")
 def _rotate_one(Q, coeffs, out_dtype):
     """One rotated basis row ``coeffsᵀ Q`` in the storage dtype.
@@ -241,7 +266,8 @@ def lanczos_thick_restart(
     n_mv = 0
 
     for restart in range(max_restarts):
-        Q = _set_row(Q, n_ret, q)
+        if q is not None:  # None: the fused restart already wrote row kk
+            Q = _set_row(Q, n_ret, q)
         B = np.zeros((m, m), np.float64)
         B[:n_ret, :n_ret] = np.diag(theta)
         B[:n_ret, n_ret] = s
@@ -324,17 +350,23 @@ def lanczos_thick_restart(
         S_pad = np.zeros((m + 1, kk), np.float64)
         S_pad[:m] = S[:, keep]
         S_keep = jnp.asarray(S_pad, jnp.float32)
-        q = jnp.asarray(Q[m], jnp.float32)  # the (m+1)-th Lanczos vector
-        # rotate row-by-row straight into the storage dtype (see
-        # _rotate_one): peak here is old Q + kk store-dtype rows, not
-        # old Q + a (kk, P) f32 block that outlives the restart
-        new_rows = [
-            _rotate_one(Q, S_keep[:, i], store_dtype) for i in range(kk)
-        ]
-        Q = _new_buffer()
-        for i, row in enumerate(new_rows):
-            Q = _set_row(Q, i, row)
-        del new_rows
+        if fused_step is not None:
+            # one donating program: rotated rows + the (m+1)-th Lanczos
+            # vector written at row kk (vs kk+1 dispatches below)
+            Q = _restart_rotate(Q, S_keep)
+            q = None
+        else:
+            q = jnp.asarray(Q[m], jnp.float32)  # the (m+1)-th Lanczos vector
+            # rotate row-by-row straight into the storage dtype (see
+            # _rotate_one): peak here is old Q + kk store-dtype rows, not
+            # old Q + a (kk, P) f32 block that outlives the restart
+            new_rows = [
+                _rotate_one(Q, S_keep[:, i], store_dtype) for i in range(kk)
+            ]
+            Q = _new_buffer()
+            for i, row in enumerate(new_rows):
+                Q = _set_row(Q, i, row)
+            del new_rows
         theta = evals[keep]
         s = beta * S[m - 1, keep]
         n_ret = kk
