@@ -635,10 +635,21 @@ def resolve_auto_precision(args, wl: Workload, attr: str = "hvp_precision",
     # (krylov/autoprec.py::default_candidates; depth-prefix and 1-pass
     # op-split arms all fail on trained ckpts without beating mixed)
     candidates = default_candidates()
+    probe_batch = wl.batches[0]
+    _leaves = jax.tree_util.tree_leaves(probe_batch)
+    if _leaves and _leaves[0].shape[0] > 4:
+        # cap the probe at 4 sequences: the reorthogonalized probe holds
+        # a (ritz_iters, P) bf16 basis + three f32 P-vectors NEXT TO the
+        # HVP working set — at bs8/124M that sums to ~16.5 GB and OOMs
+        # the 16 GB chip (measured).  Precision error is an operand-scale
+        # property of the CHECKPOINT, not of the batch size; bs4 is the
+        # protocol the arms studies certified (artifacts/trained124m_r4),
+        # and the sliced shapes ride their compile cache.
+        probe_batch = jax.tree_util.tree_map(lambda x: x[:4], probe_batch)
     plan = auto_precision_plan(
         factory,
         wl.params,
-        wl.batches[0],
+        probe_batch,
         key=jax.random.PRNGKey(getattr(args, "vector_seed", 0) + 101),
         tol=tol,
         ritz_iters=getattr(args, "precision_check_iters", 10),

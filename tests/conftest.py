@@ -38,6 +38,27 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (long-compile AOT/scale cases); "
+        "without it the FAST suite runs — the per-change default "
+        "(VERDICT r3 #9). Full-coverage runs: split the tiers into two "
+        "processes (unit+golden / parity+distributed) — a single process "
+        "running all ~300 tests hits a deterministic XLA:CPU compile "
+        "segfault around the 290th compile on this image.",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow: needs --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)

@@ -2,11 +2,13 @@
 
 import sys
 import os
+import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__ as g
 

@@ -68,6 +68,7 @@ def test_dataset_spectrum_host_over_mesh(problem):
     np.testing.assert_allclose(ev_m, ev_1, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_host_trainer_over_mesh(problem):
     model, params, loss_fn, batches = problem
     mesh = make_mesh()

@@ -12,6 +12,7 @@ beyond-parity scaling capability.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hessian_llm_vision_tpu.models import losses
 from hessian_llm_vision_tpu.models.gpt2 import GPT2Config, GPT2LMHead
@@ -64,6 +65,7 @@ def test_identical_experts_reduce_to_dense_mlp():
     np.testing.assert_allclose(l_moe, l_dense, rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_ep_sharded_loss_grad_hvp_match_unsharded():
     cfg, model, params, batch = _moe_setup()
     mesh = make_ep_mesh(2, 4)

@@ -65,15 +65,18 @@ def test_stack_unstack_roundtrip():
 @pytest.mark.parametrize(
     "num_data,num_stages,data_axis,microbatches",
     [
-        (1, 4, None, 4),
+        # fast suite keeps pp2 + dp2xpp2 (one pure-pp, one dp×pp case);
+        # the remaining grid (~30-40 s each on the 1-core simulated mesh)
+        # runs under --runslow / the round's full-suite commands
+        pytest.param(1, 4, None, 4, marks=pytest.mark.slow),
         (1, 2, None, 2),
         (2, 2, "data", 4),
-        (2, 4, "data", 2),
+        pytest.param(2, 4, "data", 2, marks=pytest.mark.slow),
         # pp=1 degenerate pipeline: the dryrun fallback for odd device
         # counts (__graft_entry__.py) — psum over the size-1 axis must
         # re-establish replication for the out_specs VMA check
-        (1, 1, None, 4),
-        (2, 1, "data", 2),
+        pytest.param(1, 1, None, 4, marks=pytest.mark.slow),
+        pytest.param(2, 1, "data", 2, marks=pytest.mark.slow),
     ],
     ids=["pp4", "pp2", "dp2xpp2", "dp2xpp4", "pp1", "dp2xpp1"],
 )

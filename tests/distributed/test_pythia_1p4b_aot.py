@@ -45,6 +45,7 @@ def _abstract_params(model, cfg, mesh):
     return jax.tree_util.tree_map(to_abstract, shapes, specs)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", ["pythia-1.4b"])
 def test_tp_grad_and_hvp_compile_at_scale(name):
     cfg = PYTHIA_CONFIGS[name]
@@ -86,6 +87,7 @@ def test_tp_grad_and_hvp_compile_at_scale(name):
     assert compiled_hvp is not None
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", ["pythia-1.4b"])
 def test_combined_tp_fused_spectrum_and_sharded_basis_at_scale(name):
     """The COMBINED 1.4B spectrum configuration (VERDICT r3 item 8):

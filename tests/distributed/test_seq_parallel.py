@@ -52,7 +52,16 @@ def _families():
     ]
 
 
-@pytest.mark.parametrize("fam", _families(), ids=lambda f: f[0])
+@pytest.mark.parametrize(
+    "fam",
+    [
+        # fast suite keeps gpt2 (both mesh shapes); the llama/neox family
+        # sweeps (~20-28 s each, 1-core simulated mesh) run under --runslow
+        f if f[0] == "gpt2" else pytest.param(f, marks=pytest.mark.slow)
+        for f in _families()
+    ],
+    ids=lambda f: f[0],
+)
 @pytest.mark.parametrize("bs,data_axis", [(8, "data"), (1, None)],
                          ids=["dp8xsp", "bs1_sp_only"])
 def test_seq_parallel_exactness(fam, bs, data_axis):
@@ -103,6 +112,7 @@ def test_seq_parallel_exactness(fam, bs, data_axis):
     )
 
 
+@pytest.mark.slow
 def test_seq_parallel_spectrum_host_loop():
     """A host-loop spectrum through the seq-sharded loss == unsharded."""
     from hessian_llm_vision_tpu.krylov.driver import dataset_spectrum_host

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hessian_llm_vision_tpu.models import GPT2Config, GPT2LMHead, losses
 from hessian_llm_vision_tpu.parallel import make_mesh
@@ -103,6 +104,7 @@ def test_tp_specs_hit_llama_leaves(key):
     assert flat["layer_0/input_layernorm/scale"] == P()
 
 
+@pytest.mark.slow
 def test_tp_llama_grad_and_hvp_match_replicated(key):
     cfg, model, params = _llama(key)
     mesh = make_mesh(num_data=2, num_model=4)

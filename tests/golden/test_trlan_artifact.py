@@ -88,7 +88,13 @@ def test_trlan_r4_dataset_artifact():
     gram = d["V_gram"].astype(np.float32)
     assert gram.shape == (5, 5)
     assert d["V_sketch8_seed0"].shape == (5, 8)
-    np.testing.assert_allclose(gram, np.eye(5), atol=5e-3)
+    # bf16-stored rows: ORTHOGONALITY (off-diagonal) holds well below the
+    # storage floor; the DIAGONAL carries the bf16 norm quantization
+    # (~2^-8 relative per row, measured 5.1e-3 with the MXU-emitted bf16
+    # restart rotation) — assert the two at their own scales
+    off = gram - np.diag(np.diag(gram))
+    assert np.abs(off).max() <= 2e-3, np.abs(off).max()
+    assert np.abs(np.diag(gram) - 1.0).max() <= 8e-3
     # dataset-mean byte-corpus curvature at init keeps 100+-scale extremes
     # (random-token batches show only ~5 at this config)
     assert ev.max() > 100 and ev.min() < -100

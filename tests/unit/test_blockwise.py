@@ -99,6 +99,7 @@ MODEL_CASES = [
 
 
 @pytest.mark.parametrize("name,make", MODEL_CASES, ids=[c[0] for c in MODEL_CASES])
+@pytest.mark.slow
 def test_blockwise_model_logits_grad_hvp_parity(name, make):
     dense_model, block_model = make(None), make(16)
     params = dense_model.init_params(jax.random.PRNGKey(0), seq_len=T)

@@ -23,6 +23,7 @@ def test_spectrum_cli(tmp_path, capsys):
     assert "lambda_max" in capsys.readouterr().out
 
 
+@pytest.mark.slow
 def test_spectrum_cli_host_loop_and_compare(tmp_path, capsys):
     from hessian_llm_vision_tpu.cli import spectrum
 
@@ -121,6 +122,7 @@ def test_hpo_cli(tmp_path):
         assert "params" in json.load(f)
 
 
+@pytest.mark.slow
 def test_forget_cli(tmp_path):
     from hessian_llm_vision_tpu.cli import forget
 
@@ -137,6 +139,7 @@ def test_forget_cli(tmp_path):
         assert 0.0 <= float(z["ab_overlap"]) <= 1.0
 
 
+@pytest.mark.slow
 def test_forget_cli_thick_restart(tmp_path, capsys):
     """--thick_restart: the task-A basis from converged eigenpairs."""
     from hessian_llm_vision_tpu.cli import forget
@@ -248,6 +251,7 @@ def test_train_cli_adam_beta2_delta(tmp_path):
     assert np.isfinite(loss)
 
 
+@pytest.mark.slow
 def test_train_cli_vision_augment_noise(tmp_path):
     from hessian_llm_vision_tpu.cli import train
 
@@ -313,6 +317,7 @@ def test_train_cli_lanczos_host(tmp_path):
     assert np.isfinite(loss2) and loss2 <= loss1 + 0.05
 
 
+@pytest.mark.slow
 def test_spectrum_cli_llama(capsys):
     from hessian_llm_vision_tpu.cli import spectrum
 
@@ -357,6 +362,7 @@ def test_spectrum_cli_thick_restart(tmp_path, capsys):
         ])
 
 
+@pytest.mark.slow
 def test_spectrum_cli_layerwise_block(tmp_path, capsys):
     """--layerwise_group block: one spectrum per transformer block h_i, the
     visual-eigen.ipynb cell-12 sweep + cell-13 grid plot, both paths."""
@@ -456,6 +462,7 @@ def test_local_corpus_num_batches_cap(tmp_path):
     assert len(wl_cap.batches) == 3
 
 
+@pytest.mark.slow
 def test_spectrum_cli_host_loop_multiprobe(tmp_path, capsys):
     """--host_loop --probes N: the d.sh seed grid in-process (the path the
     124M artifacts/slq_multiprobe_r3 run used).  Checks the SLQ-averaging
@@ -639,6 +646,7 @@ def test_loud_flag_combinations():
                               "--host_loop"])
 
 
+@pytest.mark.slow
 def test_host_loop_single_iteration():
     """num_iters=1 must return a valid T in all three host-loop variants
     (empty-betas guard; the fused/bigmodel >1B paths crashed here)."""
@@ -669,6 +677,7 @@ def test_vision_num_batches_zero_means_uncapped():
     assert len(wl.batches) >= 1
 
 
+@pytest.mark.slow
 def test_spectrum_cli_fused_iter(tmp_path, capsys):
     """--host_loop --fused_iter (one program per iteration) matches the
     unfused host loop's spectrum, and the loud-flag preconditions fire."""
@@ -696,6 +705,7 @@ def test_spectrum_cli_fused_iter(tmp_path, capsys):
         spectrum.main(args[:2] + ["--bigmodel", "--num_batches", "1"])
 
 
+@pytest.mark.slow
 def test_spectrum_cli_precision_check(tmp_path, capsys):
     """--precision_check prints the probe line on every path, including the
     mixed-mode referee rebuild (block_matmul_precision=None arm)."""
@@ -735,6 +745,7 @@ def test_spectrum_cli_precision_check(tmp_path, capsys):
         ])
 
 
+@pytest.mark.slow
 def test_train_cli_precision_check(tmp_path, capsys):
     """--precision_check probes the refresh precision before training (host
     trainers only; loud error elsewhere)."""
@@ -774,6 +785,7 @@ def test_train_cli_precision_check(tmp_path, capsys):
         ])
 
 
+@pytest.mark.slow
 def test_spectrum_cli_moe(tmp_path, capsys):
     """--experts / gpt2-moe: MoE spectra from the CLI (models/moe.py)."""
     from hessian_llm_vision_tpu.cli import spectrum

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hessian_llm_vision_tpu.curvature import DatasetHessianOperator
 from hessian_llm_vision_tpu.krylov import lanczos, ritz_decomposition
@@ -323,6 +324,7 @@ def test_fused_dataset_ggn_matches_unfused(key):
     assert float(sf.eigvals[0]) > -1e-5
 
 
+@pytest.mark.slow
 def test_matvec_precision_probe(key):
     """Mechanism test (CPU matmuls are f32 at every named precision, so the
     real bf16 error is exercised on-chip — artifacts/trained124m_r3): equal

@@ -8,6 +8,7 @@ from hessian_llm_vision_tpu.models import SpiralMLP, losses
 from hessian_llm_vision_tpu.data import make_spirals
 from hessian_llm_vision_tpu.optim import LanczosSGDConfig, make_lanczos_sgd_step
 from hessian_llm_vision_tpu.optim.lanczos_sgd_host import HostLanczosSGDTrainer
+import pytest
 
 
 def test_host_trainer_matches_fused_step(key):
@@ -69,6 +70,7 @@ def test_host_trainer_refresh_interval(key):
     assert not np.array_equal(evs[2], evs[3])
 
 
+@pytest.mark.slow
 def test_host_layerwise_matches_fused_layerwise(key):
     """Host layerwise trainer == fused make_layerwise_lanczos_sgd_step."""
     from hessian_llm_vision_tpu.optim import make_layerwise_lanczos_sgd_step

@@ -8,8 +8,10 @@ import optax
 from hessian_llm_vision_tpu.data import markov_token_batches
 from hessian_llm_vision_tpu.models import GPT2Config, GPT2LMHead, losses
 from hessian_llm_vision_tpu.train import make_train_step, train
+import pytest
 
 
+@pytest.mark.slow
 def test_gpt2_learns_markov_data(key):
     cfg = GPT2Config.tiny(vocab_size=32)
     model = GPT2LMHead(cfg)

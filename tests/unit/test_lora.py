@@ -4,6 +4,7 @@ Hessian through the standard curvature stack."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import optax
 
 from hessian_llm_vision_tpu.models import GPT2Config, GPT2LMHead, losses
@@ -53,6 +54,7 @@ def test_lora_training_moves_only_adapters(key):
     # base params untouched by construction (frozen closure)
 
 
+@pytest.mark.slow
 def test_lora_hessian_operator(key):
     from hessian_llm_vision_tpu.curvature import HessianOperator
     from hessian_llm_vision_tpu.krylov import lanczos, ritz_decomposition

@@ -137,6 +137,7 @@ def test_vgg16_forward(key):
     assert out.shape == (2, 10)
 
 
+@pytest.mark.slow
 def test_resnet50_bn_modes(key):
     model = ResNet50(stage_sizes=(1, 1, 1, 1))  # shallow for test speed
     x = jax.random.normal(key, (2, 32, 32, 3))
