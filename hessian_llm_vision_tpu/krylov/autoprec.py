@@ -9,8 +9,14 @@ trained-checkpoint extremes outright — certified at GPT-2 124M ckpt2000
 vectors, re-evaluated under the f32 referee matvec, carry SIGN-FLIPPED
 near-zero Rayleigh quotients (relative residual 1.6) — rounding noise,
 not curvature.  Even "high" (bf16x3) errs 4.4e-1 there; round 3's
-trained spectra (λmax 3.7e5 at high) understated the true f32 value
-(1.88e6) 5.1×.  The same certification shows the error lives ENTIRELY
+trained spectra (λmax 3.7e5 at high) understated the converged,
+residual-certified value (1.5702e6, thick-restart at X6,
+trlan2000_x6.npz) 4.2×.  (A further trap the certified run exposed: at
+this conditioning the UNREORTHOGONALIZED 35-iter T-only job is itself
+trajectory-unstable even at faithful precision — two X6-grade runs gave
+λmax 1.88e6 vs 1.57e6, both with ghost clusters; converged extremes
+need the reorthogonalized thick-restart path.)  The same certification
+shows the error lives ENTIRELY
 in the transformer blocks' matmuls: blocks at the X6 dot algorithm
 (bf16 6-pass, ~f32 products) + embedding/head at high err 1.5e-4 —
 inside the bar at 11% less cost than all-X6 ("highest" itself lowers to
