@@ -836,6 +836,26 @@ def _report_and_outputs(args, spec, wall, dim, num_batches,
     print(f"P = {dim}")
     print(f"lambda_max = {ev[-1]:.6f}  lambda_min = {ev[0]:.6f}")
     print(f"top-5 Ritz: {np.round(ev[-5:], 4).tolist()}")
+    # ghost-cluster detector: a T-only (unreorthogonalized) Lanczos at
+    # ill conditioning replicates a converged extreme into a cluster of
+    # near-identical Ritz values while the estimate itself drifts —
+    # measured at trained-124M/kappa~1e7: two 35-iter runs at the SAME
+    # faithful precision gave lambda_max 1.88e6 vs 1.57e6, each with a
+    # 5-wide cluster within 1e-4 relative, where the converged
+    # (thick-restart) value is 1.5702e6 with residual ~1e-10*lambda
+    # (artifacts/trained124m_r4).  A genuine SLQ top-5 has spread.
+    if not partial_measure and len(ev) >= 3:
+        top = ev[-3:]
+        scale = max(abs(float(top[-1])), 1e-30)
+        if float(top[-1] - top[0]) / scale < 1e-4:
+            print(
+                "WARNING: the top 3 Ritz values agree to <1e-4 relative — "
+                "the signature of LOST ORTHOGONALITY (ghost copies of one "
+                "eigenpair), typical for T-only Lanczos on trained/ill-"
+                "conditioned checkpoints; lambda_max may be off by tens of "
+                "percent. Use --thick_restart K for converged, residual-"
+                "certified extremes."
+            )
     if partial_measure:
         # gammas cover only the converged pairs — NOT the full SLQ measure
         print(f"partial E[lambda] over the {len(ev)} converged pairs = "

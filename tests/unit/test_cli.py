@@ -804,3 +804,36 @@ def test_spectrum_cli_moe(tmp_path, capsys):
         spectrum.main([
             "--model", "spiral", "--experts", "4", "--lanczos_iters", "2",
         ])
+
+
+def test_ghost_cluster_warning(capsys):
+    """A near-identical top-3 Ritz cluster (the lost-orthogonality
+    signature measured on the trained 124M checkpoint) must trip the
+    report's ghost warning; a genuinely spread spectrum must not."""
+    import argparse
+
+    import jax.numpy as jnp
+
+    from hessian_llm_vision_tpu.cli.spectrum import _report_and_outputs
+    from hessian_llm_vision_tpu.krylov.slq import Spectrum
+
+    def make_args():
+        return argparse.Namespace(
+            lanczos_iters=5, out_spectrum=None, plot=None, compare_to=None,
+            subsample=1.0, vector_seed=0, hutchpp=None,
+        )
+
+    ghost = Spectrum(
+        eigvals=jnp.asarray([1.0, 2.0, 1.57e6, 1.5700001e6, 1.5700002e6]),
+        gammas=jnp.full((5,), 0.2),
+    )
+    _report_and_outputs(make_args(), ghost, 1.0, 100, 1)
+    out = capsys.readouterr().out
+    assert "LOST ORTHOGONALITY" in out and "--thick_restart" in out
+
+    healthy = Spectrum(
+        eigvals=jnp.asarray([-2.0, -1.0, 1.0, 2.0, 4.8]),
+        gammas=jnp.full((5,), 0.2),
+    )
+    _report_and_outputs(make_args(), healthy, 1.0, 100, 1)
+    assert "LOST ORTHOGONALITY" not in capsys.readouterr().out
