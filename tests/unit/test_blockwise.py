@@ -171,6 +171,7 @@ def test_fully_chunked_hvp_parity():
     _hvp_close(hd, hl)
 
 
+@pytest.mark.slow
 def test_blockwise_jit_and_donation_compatible():
     """The light program must jit cleanly (scan + remat under jvp-of-grad)."""
     model = GPT2LMHead(GPT2Config.tiny(attn_block_q=16))
@@ -239,6 +240,7 @@ def test_block_q_must_divide_seq_len(key):
     assert out.shape == q.shape
 
 
+@pytest.mark.slow
 def test_head_precision_plumbing():
     """head_precision (per-operand MXU precision on the vocab-head matmul,
     losses._head_precision_arg) must trace through loss/grad/HVP in every

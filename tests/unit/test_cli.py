@@ -264,6 +264,7 @@ def test_train_cli_vision_augment_noise(tmp_path):
     assert np.isfinite(loss)
 
 
+@pytest.mark.slow
 def test_spectrum_cli_torch_format_roundtrip(tmp_path, capsys):
     from hessian_llm_vision_tpu.cli import spectrum
 

@@ -78,6 +78,7 @@ def test_lora_hessian_operator(key):
     )
 
 
+@pytest.mark.slow
 def test_lanczos_sgd_on_lora_adapters(key):
     """Spectrum-aware LoRA training: the full LanczosSGD step runs on the
     adapter subspace (the headline composition claim)."""

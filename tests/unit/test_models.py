@@ -71,6 +71,7 @@ def test_lm_loss_masking(key):
     assert abs(float(masked) - float(nomask)) > 1e-6
 
 
+@pytest.mark.slow
 def test_pythia_configs_and_forward(key):
     assert PYTHIA_CONFIGS["pythia-70m"].hidden_size == 512
     assert PYTHIA_CONFIGS["pythia-1.4b"].num_layers == 24
