@@ -169,6 +169,9 @@ def build_workload(args) -> Workload:
             "--experts applies to the gpt2 family only; "
             f"model {name!r} has no MoE variant"
         )
+    moe_top_k = getattr(args, "moe_top_k", 0) or 0
+    if moe_top_k and not experts:
+        raise SystemExit("--moe_top_k requires --experts N")
 
     # LM-only knobs must not silently no-op on vision/spiral models (the
     # loud-flags policy: a user asking for the mixed curvature mode or the
@@ -206,6 +209,13 @@ def build_workload(args) -> Workload:
         cfg = _cfg_overrides(cfg, attn_blk, block_prec)
         if experts:
             cfg = dataclasses.replace(cfg, n_experts=experts)
+        if moe_top_k:
+            cfg = dataclasses.replace(
+                cfg, moe_top_k=moe_top_k,
+                moe_capacity_factor=getattr(
+                    args, "moe_capacity_factor", 1.25
+                ),
+            )
         model = GPT2LMHead(cfg)
         params = model.init_params(key, seq_len=min(16, args.max_length))
         if args.checkpoint:
@@ -502,6 +512,16 @@ def add_common_args(parser) -> None:
                         "with a dense softmax-gated MoE of this many "
                         "experts (models/moe.py; expert weights shard over "
                         "an 'ep' mesh axis on multi-chip)")
+    parser.add_argument("--moe_top_k", type=int, default=0,
+                        help="with --experts: route each token to its top-k "
+                        "experts through fixed-capacity buffers (GShard "
+                        "semantics) instead of the dense softmax mix. "
+                        "Sparse COMPUTE, but piecewise-constant routing — "
+                        "curvature jobs over a top-k config get a loud "
+                        "TopKCurvatureWarning (models/moe.py)")
+    parser.add_argument("--moe_capacity_factor", type=float, default=1.25,
+                        help="with --moe_top_k: expert capacity slack "
+                        "factor (buffer = ceil(k*N/E * factor))")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--data_seed", type=int, default=42)
     parser.add_argument("--checkpoint", default=None)

@@ -264,6 +264,12 @@ def main(argv=None):
 
     wl = build_workload(args)
 
+    # curvature over top-k MoE routing is region-conditional (piecewise-
+    # constant routing carries no curvature) — loud warning, not a docstring
+    from hessian_llm_vision_tpu.models.moe import warn_if_topk_curvature
+
+    warn_if_topk_curvature(wl.model, what="spectrum")
+
     # loud-flags policy: error on silently-dropped combinations instead of
     # running a job that never produces the asked-for output
     if args.kpm and (

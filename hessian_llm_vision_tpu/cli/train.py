@@ -130,6 +130,12 @@ def main(argv=None) -> float:
         args.delta = 1e-8 if args.optimiser == "adam" else 1e-4
 
     wl = build_workload(args)
+    if args.optimiser not in ("sgd", "adam", "raw"):
+        # every other optimiser consumes curvature (Lanczos refreshes /
+        # GN/NGD solves) — loud guard against top-k-routed MoE configs
+        from hessian_llm_vision_tpu.models.moe import warn_if_topk_curvature
+
+        warn_if_topk_curvature(wl.model, what=f"train --optimiser {args.optimiser}")
     lr = (
         linear_decay(args.lr, args.linear_decay_steps)
         if args.linear_decay_steps

@@ -135,6 +135,52 @@ def _topk_moe(x, probs, w1, b1, w2, b2, cfg, top_k: int, cap_factor: float):
     return out.reshape(B, T, C)
 
 
+class TopKCurvatureWarning(UserWarning):
+    """Curvature job launched over piecewise-constant top-k MoE routing."""
+
+
+def topk_curvature_warning(config) -> "str | None":
+    """Warning text when ``config`` routes with top-k, else ``None``.
+
+    Top-k index selection is piecewise-constant (``_topk_moe`` docstring):
+    grads/HVPs are exact only within the active routing region and ignore
+    the routing's own curvature — crossing a routing boundary between the
+    refresh that computed a Ritz basis and the steps that reuse it silently
+    changes the operator under the basis.  Curvature jobs should use the
+    smooth dense gating (``moe_top_k = 0``); this guard makes launching one
+    over a top-k config LOUD instead of a docstring caveat (the repo's
+    loud-flags convention, cli/common.py).
+    """
+    top_k = int(getattr(config, "moe_top_k", 0) or 0)
+    n_experts = int(getattr(config, "n_experts", 0) or 0)
+    if not (n_experts and top_k):
+        return None
+    return (
+        f"curvature over TOP-K MoE routing (n_experts={n_experts}, "
+        f"moe_top_k={top_k}): the routing is piecewise-constant, so "
+        "HVPs/spectra are exact only within the ACTIVE routing region and "
+        "carry zero routing curvature — Ritz pairs computed at a refresh "
+        "boundary can describe a different operator than the steps that "
+        "reuse them. Use the dense gating (moe_top_k=0 / drop --moe_top_k) "
+        "for curvature-exact jobs; top-k results are region-conditional."
+    )
+
+
+def warn_if_topk_curvature(model_or_config, *, what: str = "curvature job"):
+    """Emit a loud :class:`TopKCurvatureWarning` (stderr + warnings module)
+    when a curvature job targets a top-k-routed MoE config.  Returns the
+    warning text (for embedding in spectrum reports/artifacts) or None."""
+    import sys
+    import warnings
+
+    config = getattr(model_or_config, "config", model_or_config)
+    msg = topk_curvature_warning(config)
+    if msg is not None:
+        warnings.warn(f"[{what}] {msg}", TopKCurvatureWarning, stacklevel=2)
+        print(f"WARNING [{what}]: {msg}", file=sys.stderr)
+    return msg
+
+
 def moe_param_sharding(params, mesh: Mesh, *, ep_axis: str = "ep"):
     """NamedSharding tree: expert-stacked MoE leaves (paths containing
     ``moe/w1|w2|b1|b2``) shard dim 0 over ``ep_axis``; everything else

@@ -132,6 +132,51 @@ def test_topk_equals_dense_when_k_is_E():
     )
 
 
+def test_topk_curvature_guard_fires():
+    """Launching a curvature job over a top-k config must be LOUD
+    (VERDICT r4 item 8): the helper warns, the dense config stays silent,
+    and the spectrum CLI path emits the warning end-to-end."""
+    import dataclasses
+    import warnings
+
+    from hessian_llm_vision_tpu.models.moe import (
+        TopKCurvatureWarning,
+        topk_curvature_warning,
+        warn_if_topk_curvature,
+    )
+
+    cfg, model, _, _ = _moe_setup()
+    cfg_k = dataclasses.replace(cfg, moe_top_k=1)
+    assert topk_curvature_warning(cfg) is None  # dense gating: silent
+    assert "piecewise-constant" in topk_curvature_warning(cfg_k)
+
+    with pytest.warns(TopKCurvatureWarning):
+        msg = warn_if_topk_curvature(GPT2LMHead(cfg_k), what="test")
+    assert msg is not None
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # dense config: no warning at all
+        assert warn_if_topk_curvature(model, what="test") is None
+
+
+def test_topk_curvature_guard_cli(tmp_path):
+    """spectrum CLI over --experts/--moe_top_k warns; --moe_top_k without
+    --experts is a loud error."""
+    from hessian_llm_vision_tpu.cli import spectrum
+    from hessian_llm_vision_tpu.models.moe import TopKCurvatureWarning
+
+    argv = [
+        "--model", "gpt2-tiny", "--num_batches", "1", "--batch_size", "2",
+        "--max_length", "16", "--experts", "2", "--moe_top_k", "1",
+        "--lanczos_iters", "3", "--hvp_precision", "high",
+        "--out_spectrum", str(tmp_path / "spec"),
+    ]
+    with pytest.warns(TopKCurvatureWarning):
+        spectrum.main(argv)
+
+    with pytest.raises(SystemExit, match="--moe_top_k requires --experts"):
+        spectrum.main(["--model", "gpt2-tiny", "--moe_top_k", "1"])
+
+
 def test_topk_sparse_forward_and_ep_sharding():
     """k=1 routing: outputs are finite, differ from dense (sparse compute
     drops E-1 expert mixes), grads flow, and the EP-sharded forward
