@@ -525,6 +525,15 @@ def add_common_args(parser) -> None:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--data_seed", type=int, default=42)
     parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--precision_plan", default=None,
+                        help="persisted auto-precision plan file (default: "
+                        "<--checkpoint>.autoprec.json when --checkpoint is "
+                        "set) — a fingerprint-matched plan resolves "
+                        "--hvp_precision/--refresh_precision auto with zero "
+                        "probe HVPs (krylov/precplan.py)")
+    parser.add_argument("--reprobe", action="store_true",
+                        help="ignore any persisted auto-precision plan and "
+                        "re-probe this checkpoint (overwrites the plan file)")
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--bn_train_mode", action="store_true")
     parser.add_argument("--classes", type=int, nargs="*", default=None)
@@ -626,6 +635,13 @@ def resolve_auto_precision(args, wl: Workload, attr: str = "hvp_precision",
     ``args.<attr> != 'auto'``.
     """
     if getattr(args, attr, None) != "auto":
+        if getattr(args, "reprobe", False) or getattr(
+            args, "precision_plan", None
+        ):
+            raise SystemExit(
+                f"--reprobe/--precision_plan have no effect without "
+                f"--{attr} auto"
+            )
         return wl
     if getattr(args, "block_precision", None):
         raise SystemExit(
@@ -666,17 +682,63 @@ def resolve_auto_precision(args, wl: Workload, attr: str = "hvp_precision",
         # protocol the arms studies certified (artifacts/trained124m_r4),
         # and the sliced shapes ride their compile cache.
         probe_batch = jax.tree_util.tree_map(lambda x: x[:4], probe_batch)
-    plan = auto_precision_plan(
-        factory,
-        wl.params,
-        probe_batch,
-        key=jax.random.PRNGKey(getattr(args, "vector_seed", 0) + 101),
-        tol=tol,
-        ritz_iters=getattr(args, "precision_check_iters", 10),
-        candidates=candidates,
-        log=print,
+    # persisted-plan fast path (krylov/precplan.py): a fingerprint +
+    # context hit resolves the tier with ZERO probe HVPs.  Plan file:
+    # --precision_plan PATH, else a sibling of --checkpoint; in-memory
+    # checkpoints (init params) have no natural home -> probe every run.
+    from hessian_llm_vision_tpu.krylov.precplan import (
+        default_plan_path,
+        load_plan,
+        params_fingerprint,
+        plan_context,
+        save_plan,
     )
-    print(plan.describe())
+
+    ritz_iters = getattr(args, "precision_check_iters", 10)
+    plan_path = getattr(args, "precision_plan", None)
+    if plan_path is None and getattr(args, "checkpoint", None):
+        plan_path = default_plan_path(args.checkpoint)
+    plan = fp = ctx = None
+    if plan_path:
+        fp = params_fingerprint(wl.params)
+        ctx = plan_context(
+            model_config=cfg,
+            probe_batch=probe_batch,
+            tol=tol,
+            ritz_iters=ritz_iters,
+            candidate_labels=tuple(label for label, _ in candidates),
+        )
+        if not getattr(args, "reprobe", False):
+            plan = load_plan(plan_path, fingerprint=fp, context=ctx)
+            if plan is not None:
+                print(
+                    f"[auto-precision] reusing persisted plan {plan_path} "
+                    f"(params fingerprint + context match, 0 probe HVPs): "
+                    f"{plan.label} (err {plan.ritz_rel_err:.2e} at probe "
+                    "time; --reprobe to re-measure)"
+                )
+    if plan is None:
+        plan = auto_precision_plan(
+            factory,
+            wl.params,
+            probe_batch,
+            key=jax.random.PRNGKey(getattr(args, "vector_seed", 0) + 101),
+            tol=tol,
+            ritz_iters=ritz_iters,
+            candidates=candidates,
+            log=print,
+        )
+        print(plan.describe())
+        if plan_path:
+            save_plan(
+                plan_path, plan, fingerprint=fp, context=ctx,
+                provenance={
+                    "vector_seed": getattr(args, "vector_seed", 0),
+                    "source": "cli.resolve_auto_precision",
+                    "checkpoint": getattr(args, "checkpoint", None),
+                },
+            )
+            print(f"[auto-precision] plan -> {plan_path}")
     setattr(args, attr, plan.hvp_precision)
     args.block_precision = plan.block_precision
     new_model = type(wl.model)(

@@ -39,6 +39,13 @@ from hessian_llm_vision_tpu.krylov.autoprec import (
     prefix_block_spec,
     spec_to_overrides,
 )
+from hessian_llm_vision_tpu.krylov.precplan import (
+    default_plan_path,
+    load_plan,
+    params_fingerprint,
+    plan_context,
+    save_plan,
+)
 from hessian_llm_vision_tpu.krylov.power import power_iteration
 from hessian_llm_vision_tpu.krylov.cg import cg_solve
 from hessian_llm_vision_tpu.krylov.trace import hutchinson_trace, hutchpp_trace
@@ -66,6 +73,11 @@ __all__ = [
     "AutoPrecisionPlan",
     "PrecisionArm",
     "auto_precision_plan",
+    "default_plan_path",
+    "load_plan",
+    "params_fingerprint",
+    "plan_context",
+    "save_plan",
     "default_candidates",
     "escalation_prefixes",
     "op_split_candidates",
