@@ -41,7 +41,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="lanczos-host: run refresh HVPs on only the first N "
                    "sequences (frees HBM headroom at 124M+)")
     p.add_argument("--refresh_precision", default="high",
-                   choices=["high", "highest", "default", "mixed"],
+                   choices=["high", "highest", "default", "mixed", "auto"],
                    help="lanczos-host: matmul precision for refresh HVPs — "
                    "'default' (1 bf16 MXU pass) is 1.68x faster at ~1e-3 "
                    "Ritz error, fine for delta-damped training refreshes; "
@@ -51,7 +51,18 @@ def build_parser() -> argparse.ArgumentParser:
                    "when resuming a trained checkpoint add "
                    "--precision_check (landscape sharpening makes bf16 "
                    "refresh error checkpoint-dependent; "
-                   "artifacts/trained124m_r3)")
+                   "artifacts/trained124m_r3).  'auto' resolves the tier "
+                   "by probing the STARTING params (post-resume) and "
+                   "installs the in-training precision guard "
+                   "(optim/precision_guard.py): periodic re-probes + "
+                   "λmax-growth-triggered escalation")
+    p.add_argument("--precision_recheck", type=int, default=0,
+                   help="lanczos-host/-layer-host: re-probe the refresh "
+                   "precision against the f32 referee every N refreshes "
+                   "and auto-escalate the tier on a breach (0 = off; "
+                   "--refresh_precision auto defaults this to 10).  A "
+                   "4x λmax growth since the last probe always triggers "
+                   "a re-probe when the guard is installed")
     p.add_argument("--precision_check", action="store_true",
                    help="lanczos-host/-layer-host: before training, probe "
                    "the refresh-precision HVP against an f32 referee at "
@@ -99,6 +110,24 @@ def build_parser() -> argparse.ArgumentParser:
                    "post-training eigenspace.pth, train_lanczos.py:372-410)")
     p.add_argument("--post_spectrum_out", default=None)
     return p
+
+
+def _refresh_probe_batch(args, wl, accum):
+    """Probe batch mirroring the refresh's memory plan: one micro-batch,
+    further sliced by --refresh_batch_size — probing the full
+    un-microbatched batch could OOM a job those flags make fit."""
+    import jax
+
+    probe_n = None
+    if accum > 1:
+        probe_n = max(wl.batch_size // accum, 1)
+    if args.refresh_batch_size:
+        probe_n = min(probe_n or args.refresh_batch_size,
+                      args.refresh_batch_size)
+    batch = wl.batches[0]
+    if probe_n is not None:
+        batch = jax.tree_util.tree_map(lambda x: x[:probe_n], batch)
+    return batch
 
 
 def main(argv=None) -> float:
@@ -168,6 +197,16 @@ def main(argv=None) -> float:
             "use --optimiser lanczos-host/lanczos-layer-host (for spectrum "
             "jobs use spectrum --precision_check)"
         )
+    if (
+        args.refresh_precision == "auto" or args.precision_recheck > 0
+    ) and args.optimiser not in ("lanczos-host", "lanczos-layer-host"):
+        raise SystemExit(
+            "--refresh_precision auto / --precision_recheck guard the HOST "
+            "trainers' refresh HVPs; use --optimiser lanczos-host/"
+            "lanczos-layer-host"
+        )
+    if args.precision_recheck < 0:
+        raise SystemExit("--precision_recheck must be >= 0")
     if args.optimiser == "lanczos-layer" and accum > 1:
         raise SystemExit(
             "--optimiser lanczos-layer does not support "
@@ -248,18 +287,25 @@ def main(argv=None) -> float:
                 print("[train] >=1e8 params: bf16 Ritz basis on by default "
                       "(--no-basis_bf16 for f32)")
         basis_dtype = jnp.bfloat16 if basis_bf16 else jnp.float32
+        # 'auto' resolves AFTER --resume_state (the guard probes the params
+        # training actually starts from); construct at a placeholder tier —
+        # jit is lazy, so the placeholder program never compiles
+        refresh_prec = (
+            "high" if args.refresh_precision == "auto"
+            else args.refresh_precision
+        )
         if args.optimiser == "lanczos-host":
             trainer = HostLanczosSGDTrainer(
                 wl.loss_fn, wl.params, cfg, batch_size=wl.batch_size,
                 basis_dtype=basis_dtype,
                 refresh_batch_size=args.refresh_batch_size,
-                refresh_precision=args.refresh_precision,
+                refresh_precision=refresh_prec,
             )
         else:
             trainer = HostLayerwiseLanczosSGDTrainer(
                 wl.loss_fn, wl.params, cfg, batch_size=wl.batch_size,
                 basis_dtype=basis_dtype,
-                refresh_precision=args.refresh_precision,
+                refresh_precision=refresh_prec,
             )
         init_fn, step_fn = trainer.init, trainer.step
     elif args.optimiser in ("gn", "ngd"):
@@ -341,13 +387,64 @@ def main(argv=None) -> float:
             state0 = load_checkpoint(args.resume_state, template=state0)
         print(f"resumed train state <- {args.resume_state}")
 
+    guard = None
+    if args.refresh_precision == "auto" or args.precision_recheck > 0:
+        # AFTER --resume_state (same reason as --precision_check below):
+        # the guard's initial resolve must see the params training starts
+        # from.  Installs periodic re-probes + λmax-growth escalation —
+        # the in-training extension of the one-shot probe
+        # (optim/precision_guard.py, VERDICT r4 #3).
+        import jax
+
+        from hessian_llm_vision_tpu.cli.common import lm_loss_factory
+        from hessian_llm_vision_tpu.optim.precision_guard import (
+            RefreshPrecisionGuard,
+            default_tiers,
+            tier_index_for,
+        )
+
+        factory = lm_loss_factory(wl, args)
+        tiers = default_tiers(factory, wl.loss_fn)
+        referee = factory(None) if factory is not None else wl.loss_fn
+        start = (
+            0 if args.refresh_precision == "auto"
+            else tier_index_for(tiers, args.refresh_precision)
+        )
+        guard = RefreshPrecisionGuard(
+            tiers,
+            referee_loss_fn=referee,
+            recheck_every=args.precision_recheck or 10,
+            key=jax.random.PRNGKey(args.seed + 7),
+            start_index=start,
+        )
+        trainer.precision_guard = guard
+        probe_batch = _refresh_probe_batch(args, wl, accum)
+        if args.refresh_precision == "auto":
+            tier = guard.resolve_initial(
+                trainer, state0.params, probe_batch, step=state0.step
+            )
+            print(
+                f"[precision-guard] refresh tier resolved: {tier.label} "
+                f"(outer {tier.precision}); re-probe every "
+                f"{guard.recheck_every} refreshes or on "
+                f"{guard.growth_factor}x λmax growth"
+            )
+        else:
+            # guard the user's pinned tier: no initial probe, but align
+            # the trainer with the ladder rung so escalations stack on it
+            trainer.set_refresh_tier(tiers[start])
+            print(
+                f"[precision-guard] guarding pinned tier "
+                f"{tiers[start].label}: re-probe every "
+                f"{guard.recheck_every} refreshes / {guard.growth_factor}x "
+                "λmax growth"
+            )
+
     if args.precision_check:
         # AFTER --resume_state: the probe must see the params training will
         # actually start from — probing init-scale curvature and then
         # swapping in a trained checkpoint would falsely pass exactly the
         # checkpoint-dependent regime the flag exists for
-        import jax
-
         from hessian_llm_vision_tpu.cli.common import (
             referee_loss_fn_for,
             report_precision_probe,
@@ -356,20 +453,7 @@ def main(argv=None) -> float:
             refresh_precision_probe,
         )
 
-        # mirror the refresh's memory plan: the refresh HVP runs on one
-        # micro-batch further sliced by --refresh_batch_size — probing the
-        # full un-microbatched batch could OOM a job those flags make fit
-        probe_n = None
-        if accum > 1:
-            probe_n = max(wl.batch_size // accum, 1)
-        if args.refresh_batch_size:
-            probe_n = min(probe_n or args.refresh_batch_size,
-                          args.refresh_batch_size)
-        probe_batch = wl.batches[0]
-        if probe_n is not None:
-            probe_batch = jax.tree_util.tree_map(
-                lambda x: x[:probe_n], probe_batch
-            )
+        probe_batch = _refresh_probe_batch(args, wl, accum)
         stats = refresh_precision_probe(
             trainer, state0.params, probe_batch,
             key=jax.random.PRNGKey(args.seed),
@@ -422,6 +506,19 @@ def main(argv=None) -> float:
         jit=not host_driven,
     )
     logger.close()
+
+    if guard is not None:
+        import json
+
+        summary = guard.summary()
+        guard_path = os.path.join(rundir, "precision_guard.json")
+        with open(guard_path, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(
+            f"[precision-guard] final tier {guard.tier.label} "
+            f"({len(guard.events)} probes, {summary['escalations']} "
+            f"escalations) -> {guard_path}"
+        )
 
     if args.save_checkpoint:
         # gn/ngd steps carry the bare params pytree as their state

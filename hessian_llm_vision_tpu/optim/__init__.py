@@ -18,6 +18,13 @@ from hessian_llm_vision_tpu.optim.second_order import (
     make_gauss_newton_step,
     make_natural_gradient_step,
 )
+from hessian_llm_vision_tpu.optim.precision_guard import (
+    GuardEvent,
+    GuardTier,
+    RefreshPrecisionGuard,
+    default_tiers,
+    tier_index_for,
+)
 
 __all__ = [
     "sgd_momentum",
@@ -33,4 +40,9 @@ __all__ = [
     "frozen_spectral_adjust",
     "make_gauss_newton_step",
     "make_natural_gradient_step",
+    "GuardEvent",
+    "GuardTier",
+    "RefreshPrecisionGuard",
+    "default_tiers",
+    "tier_index_for",
 ]

@@ -106,26 +106,20 @@ class HostLanczosSGDTrainer:
         self.cfg = config
         self.basis_dtype = basis_dtype
         self.refresh_batch_size = refresh_batch_size
-        self.refresh_precision = refresh_precision
         self.fl = Flattener(params_template)
         self.loss_fn = loss_fn
-        _hvp = hvp_fn(
-            loss_fn,
-            normalization=config.normalization,
-            batch_size=batch_size,
-            remat=config.remat,
-            precision=refresh_precision,
-        )
+        self._batch_size = batch_size
+        #: optional optim.precision_guard.RefreshPrecisionGuard — probed
+        #: at every refresh boundary; escalations land via set_refresh_tier
+        self.precision_guard = None
+        self._refresh_count = 0
+        self._build_refresh_hvp(loss_fn, refresh_precision)
         fl = self.fl
 
         @jax.jit
         def grad_program(params, batch):
             loss, grad = jax.value_and_grad(loss_fn)(params, batch)
             return loss, fl.flatten(grad)
-
-        @jax.jit
-        def hvp_program(v, params, batch):
-            return fl.flatten(_hvp(params, batch, fl.unflatten(v)))
 
         cfg = config
 
@@ -199,13 +193,42 @@ class HostLanczosSGDTrainer:
             ).astype(basis_dtype)
 
         self._grad = grad_program
-        self._hvp = hvp_program
         self._recurrence = host_recurrence_step
         self._adjust_update = adjust_update
         self._rotate = rotate
         self._set_row = set_row
         self._ema_blend = ema_blend
         self._acc_add = acc_add
+
+    def _build_refresh_hvp(self, loss_fn, precision: str) -> None:
+        """(Re)build the refresh-HVP program for a precision tier.
+
+        Called at construction and by :meth:`set_refresh_tier` when the
+        precision guard escalates mid-training — jit is lazy, so an
+        escalation costs one compile at the NEXT refresh (cached across
+        escalation flaps by the jax compilation cache)."""
+        fl = self.fl
+        _hvp = hvp_fn(
+            loss_fn,
+            normalization=self.cfg.normalization,
+            batch_size=self._batch_size,
+            remat=self.cfg.remat,
+            precision=precision,
+        )
+
+        @jax.jit
+        def hvp_program(v, params, batch):
+            return fl.flatten(_hvp(params, batch, fl.unflatten(v)))
+
+        self._hvp = hvp_program
+        self.refresh_precision = precision
+        #: the loss the refresh HVPs actually differentiate (may be a
+        #: tier-rebuilt model; the GRAD step keeps the original loss)
+        self.refresh_loss_fn = loss_fn
+
+    def set_refresh_tier(self, tier) -> None:
+        """Apply a precision-guard tier (optim.precision_guard.GuardTier)."""
+        self._build_refresh_hvp(tier.loss_fn, tier.precision)
 
     def init(self, params) -> HostLanczosSGDState:
         # basis starts as None (step 0 always refreshes) — at 124M scale a
@@ -284,6 +307,21 @@ class HostLanczosSGDTrainer:
                 rbatch = jax.tree_util.tree_map(
                     lambda x: x[: self.refresh_batch_size], batch
                 )
+            if self.precision_guard is not None:
+                # pre-refresh drift check: λmax from the PREVIOUS refresh
+                # is the sharpening signal (one scalar fetch per refresh —
+                # negligible next to the k-HVP refresh itself).  NOTE
+                # state.basis may already be freed above; eigvals survive
+                # and are meaningful once any refresh has run
+                self.precision_guard.maybe_recheck(
+                    self, state.params, rbatch,
+                    step=state.step, refresh_index=self._refresh_count,
+                    eig_max=(
+                        float(state.eigvals[-1])
+                        if self._refresh_count > 0 else None
+                    ),
+                )
+            self._refresh_count += 1
             new_ev, new_V = self.refresh_spectrum(state.params, rbatch, g_flat)
             if use_ema:
                 state.eigvals = m * state.eigvals + (1 - m) * new_ev
@@ -359,7 +397,6 @@ class HostLayerwiseLanczosSGDTrainer:
 
         self.cfg = config
         self.basis_dtype = basis_dtype
-        self.refresh_precision = refresh_precision
         self.loss_fn = loss_fn
         self.fl = Flattener(params_template)
         fl = self.fl
@@ -371,7 +408,9 @@ class HostLayerwiseLanczosSGDTrainer:
             self._hvp_scale = float(batch_size)
         else:
             self._hvp_scale = 1.0
-        self._mhvp = _jitted_masked_batch_hvp(loss_fn, "mean", refresh_precision, fl)
+        self.precision_guard = None
+        self._refresh_count = 0
+        self._build_refresh_hvp(loss_fn, refresh_precision)
 
         labels, spans = trees.partition_labels(params_template)
         #: (label, offset, size, k_i) for every adjusted leaf
@@ -431,6 +470,20 @@ class HostLayerwiseLanczosSGDTrainer:
         self._adjust_update = layer_adjust_update
         self._recurrence = host_recurrence_step
 
+    def _build_refresh_hvp(self, loss_fn, precision: str) -> None:
+        """(Re)build the masked refresh-HVP program for a precision tier."""
+        from hessian_llm_vision_tpu.krylov.driver import (
+            _jitted_masked_batch_hvp,
+        )
+
+        self._mhvp = _jitted_masked_batch_hvp(loss_fn, "mean", precision, self.fl)
+        self.refresh_precision = precision
+        self.refresh_loss_fn = loss_fn
+
+    def set_refresh_tier(self, tier) -> None:
+        """Apply a precision-guard tier (optim.precision_guard.GuardTier)."""
+        self._build_refresh_hvp(tier.loss_fn, tier.precision)
+
     def init(self, params) -> HostLayerwiseState:
         n = len(self.active)
         return HostLayerwiseState(
@@ -475,6 +528,16 @@ class HostLayerwiseLanczosSGDTrainer:
         if state.step % self.cfg.refresh_every == 0 or state.bases[0] is None:
             m = self.cfg.lanczos_momentum
             use_ema = m > 0 and state.step > 0 and state.bases[0] is not None
+            if self.precision_guard is not None:
+                self.precision_guard.maybe_recheck(
+                    self, state.params, batch,
+                    step=state.step, refresh_index=self._refresh_count,
+                    eig_max=(
+                        max(float(e[-1]) for e in state.eigvals)
+                        if state.bases[0] is not None else None
+                    ),
+                )
+            self._refresh_count += 1
             for i, (label, off, size, k_i) in enumerate(self.active):
                 ev, V = self.refresh_leaf(
                     state.params, batch, g_flat, off, size, k_i
@@ -540,7 +603,10 @@ def refresh_precision_probe(
     if key is None:
         key = jax.random.PRNGKey(0)
     return matvec_precision_probe(
-        trainer.loss_fn, params, batch, key=key,
+        # the refresh loss may be a precision-guard tier rebuild; probe
+        # what the refresh HVPs actually differentiate
+        getattr(trainer, "refresh_loss_fn", trainer.loss_fn),
+        params, batch, key=key,
         precision=trainer.refresh_precision, flattener=trainer.fl,
         ritz_iters=ritz_iters, referee_loss_fn=referee_loss_fn,
     )
