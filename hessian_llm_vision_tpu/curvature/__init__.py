@@ -12,6 +12,11 @@ from hessian_llm_vision_tpu.curvature.operators import (
     MatrixOperator,
 )
 from hessian_llm_vision_tpu.curvature.ggn import GGNOperator, FisherOperator
+from hessian_llm_vision_tpu.curvature.linearized import (
+    linearized_hvp_programs,
+    linearized_matvec,
+    residual_bytes,
+)
 
 __all__ = [
     "hvp",
@@ -25,4 +30,7 @@ __all__ = [
     "MatrixOperator",
     "GGNOperator",
     "FisherOperator",
+    "linearized_hvp_programs",
+    "linearized_matvec",
+    "residual_bytes",
 ]

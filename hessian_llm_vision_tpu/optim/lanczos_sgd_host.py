@@ -66,6 +66,7 @@ class HostLanczosSGDTrainer:
         basis_dtype: jnp.dtype = jnp.float32,
         refresh_batch_size: Optional[int] = None,
         refresh_precision: str = "high",
+        refresh_linearized: bool = False,
     ):
         """``basis_dtype=jnp.bfloat16`` halves the stored (k, P) basis —
         needed at GPT-2-124M scale where k=10 f32 rows (5 GB) plus the HVP
@@ -102,10 +103,20 @@ class HostLanczosSGDTrainer:
         reference's accumulation is likewise a host loop, accum.py:144-151).
         Refresh HVPs run on the first micro-batch (further sliced by
         ``refresh_batch_size``) — the same stochastic sub-batch
-        approximation as the refresh itself."""
+        approximation as the refresh itself.
+
+        ``refresh_linearized``: pay the refresh's primal forward+backward
+        ONCE per refresh instead of once per HVP — params and the refresh
+        batch are fixed across the k Lanczos iterations, so the tangent
+        map alone (0.72x the HVP flops, measured) serves iterations 2..k
+        (curvature/linearized.py).  Opt-in: the linearization residuals
+        are ~2.65 GiB PER SEQUENCE at 124M/seq512, so combine with
+        ``refresh_batch_size<=2`` at that scale (use
+        ``curvature.residual_bytes`` to budget)."""
         self.cfg = config
         self.basis_dtype = basis_dtype
         self.refresh_batch_size = refresh_batch_size
+        self.refresh_linearized = refresh_linearized
         self.fl = Flattener(params_template)
         self.loss_fn = loss_fn
         self._batch_size = batch_size
@@ -221,6 +232,16 @@ class HostLanczosSGDTrainer:
             return fl.flatten(_hvp(params, batch, fl.unflatten(v)))
 
         self._hvp = hvp_program
+        self._resid = self._tangent = None
+        if self.refresh_linearized:
+            from hessian_llm_vision_tpu.curvature.linearized import (
+                linearized_hvp_programs,
+            )
+
+            self._resid, self._tangent = linearized_hvp_programs(
+                loss_fn, self.cfg.normalization, precision, fl,
+                self._batch_size,
+            )
         self.refresh_precision = precision
         #: the loss the refresh HVPs actually differentiate (may be a
         #: tier-rebuilt model; the GRAD step keeps the original loss)
@@ -258,15 +279,22 @@ class HostLanczosSGDTrainer:
         q_cur = g_flat / jnp.maximum(jnp.linalg.norm(g_flat), 1e-30)
         q_prev = jnp.zeros_like(q_cur)
         beta_prev = jnp.float32(0.0)
+        consts = None
+        if self._tangent is not None:
+            # linearized refresh: ONE primal fwd+bwd for all k iterations
+            consts = self._resid(params, batch)
         alphas, betas = [], []
         for i in range(k):
             basis = self._set_row(basis, q_cur, jnp.asarray(i))
-            w = self._hvp(q_cur, params, batch)
+            if consts is not None:
+                w = self._tangent(q_cur, consts, params, batch)
+            else:
+                w = self._hvp(q_cur, params, batch)
             alpha, beta, q_next = self._recurrence(w, q_cur, q_prev, beta_prev)
             q_prev, q_cur, beta_prev = q_cur, q_next, beta
             alphas.append(float(alpha))
             betas.append(float(beta))
-        del q_prev, q_cur, w
+        del q_prev, q_cur, w, consts
         a = np.asarray(alphas)
         b = np.asarray(betas)[:-1]
         T = np.diag(a) + np.diag(b, 1) + np.diag(b, -1)
