@@ -23,6 +23,22 @@ from hessian_llm_vision_tpu.cli.precision import (  # noqa: F401
 )
 
 
+def _block_precision_arg(value: str) -> str:
+    """--block_precision values: the named tiers or a jax dot-algorithm
+    preset (validated by models.precision's rule: uppercase preset names
+    pass through; jax itself rejects unknown presets at scope entry)."""
+    import argparse
+
+    if value in ("default", "high", "highest") or (
+        isinstance(value, str) and value.isupper()
+    ):
+        return value
+    raise argparse.ArgumentTypeError(
+        f"invalid block precision {value!r}: expected default | high | "
+        "highest or a jax dot-algorithm preset name (e.g. BF16_BF16_F32_X6)"
+    )
+
+
 def add_common_args(parser) -> None:
     """Flag names follow the reference argparse surface
     (accum.py:15-28, gpt2_savehessian.py:12-19, train_savespec.py:23-42)."""
@@ -53,10 +69,13 @@ def add_common_args(parser) -> None:
                         "(memory-light curvature path, models/attention.py); "
                         "default dense")
     parser.add_argument("--block_precision", default=None,
-                        choices=["default", "high", "highest"],
+                        type=_block_precision_arg,
                         help="matmul precision override for the transformer "
-                        "blocks only (mixed curvature mode: outer 'high' + "
-                        "blocks 'default'); default inherits")
+                        "blocks only: default | high | highest, or a jax "
+                        "dot-algorithm preset (e.g. BF16_BF16_F32_X6 — the "
+                        "trained-checkpoint faithful tier, "
+                        "krylov/autoprec.py).  Mixed curvature mode = outer "
+                        "'high' + blocks 'default'; unset inherits")
     parser.add_argument("--loss_chunk", type=int, default=None,
                         help="chunked-vocab LM loss: never materialize the "
                         "(B,T,V) logits; chunk size in sequence positions")

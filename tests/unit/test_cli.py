@@ -838,3 +838,17 @@ def test_ghost_cluster_warning(capsys):
     )
     _report_and_outputs(make_args(), healthy, 1.0, 100, 1)
     assert "LOST ORTHOGONALITY" not in capsys.readouterr().out
+
+
+def test_block_precision_accepts_dot_algorithm_presets(tmp_path):
+    """--block_precision must accept jax dot-algorithm preset names (the
+    trained-checkpoint faithful tier is blocks BF16_BF16_F32_X6) — the
+    choices list that rejected them cost a round-5 TPU block sweep."""
+    from hessian_llm_vision_tpu.cli.spectrum import build_parser
+
+    args = build_parser().parse_args(
+        ["--block_precision", "BF16_BF16_F32_X6"]
+    )
+    assert args.block_precision == "BF16_BF16_F32_X6"
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(["--block_precision", "bogus"])
