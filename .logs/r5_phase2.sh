@@ -29,6 +29,13 @@ timeout 2400 python -m hessian_llm_vision_tpu.cli.spectrum --model gpt2 \
   --hvp_precision auto --out_spectrum $A/spec_step2000_reuse \
   > .logs/spec124m_r5_s2000_reuse2.log 2>&1
 echo "R5A2-RETRY REUSE EXIT $? $(date -u)" >> "$W"
+timeout 2400 python -m hessian_llm_vision_tpu.cli.spectrum --model gpt2 \
+  --checkpoint $CK/ckpt2000 \
+  --dataset local:/usr/local/lib/python3.12 --num_batches 8 --batch_size 4 \
+  --max_length 512 --lanczos_iters 5 --host_loop --fused_iter \
+  --hvp_precision auto --out_spectrum $A/spec_step2000_reuse_b \
+  > .logs/spec124m_r5_s2000_reuse3.log 2>&1
+echo "R5A2-RETRY REUSE-HIT EXIT $? $(date -u)" >> "$W"
 for SEED in 997 1999; do
   timeout 4800 python -m hessian_llm_vision_tpu.cli.spectrum --model gpt2 \
     --checkpoint $CK/ckpt2000 \

@@ -149,6 +149,7 @@ def resolve_auto_precision(args, wl: Workload, attr: str = "hvp_precision",
     # --precision_plan PATH, else a sibling of --checkpoint; in-memory
     # checkpoints (init params) have no natural home -> probe every run.
     from hessian_llm_vision_tpu.krylov.precplan import (
+        checkpoint_fingerprint,
         default_plan_path,
         load_plan,
         params_fingerprint,
@@ -162,7 +163,14 @@ def resolve_auto_precision(args, wl: Workload, attr: str = "hvp_precision",
         plan_path = default_plan_path(args.checkpoint)
     plan = fp = ctx = None
     if plan_path:
-        fp = params_fingerprint(wl.params)
+        # prefer the on-disk checkpoint hash (zero device work — the
+        # device reduction program is one more remote compile that can
+        # hang on a flaky tunnel); params fingerprint otherwise
+        fp = None
+        if getattr(args, "checkpoint", None):
+            fp = checkpoint_fingerprint(args.checkpoint)
+        if fp is None:
+            fp = params_fingerprint(wl.params)
         ctx = plan_context(
             model_config=cfg,
             probe_batch=probe_batch,

@@ -40,6 +40,7 @@ from hessian_llm_vision_tpu.krylov.autoprec import (
     spec_to_overrides,
 )
 from hessian_llm_vision_tpu.krylov.precplan import (
+    checkpoint_fingerprint,
     default_plan_path,
     load_plan,
     params_fingerprint,
@@ -73,6 +74,7 @@ __all__ = [
     "AutoPrecisionPlan",
     "PrecisionArm",
     "auto_precision_plan",
+    "checkpoint_fingerprint",
     "default_plan_path",
     "load_plan",
     "params_fingerprint",

@@ -86,6 +86,49 @@ def params_fingerprint(params: Any) -> str:
     return "sha256:" + h.hexdigest()
 
 
+def checkpoint_fingerprint(path: str) -> Optional[str]:
+    """Content hash of an on-disk (Orbax) checkpoint — zero device work.
+
+    Preferred over :func:`params_fingerprint` when the params came from a
+    ``--checkpoint`` path: identical bytes on disk mean identical params
+    on ANY backend, and it needs no device program at all (the per-leaf
+    reduction program is one more remote-tunnel compile that can hang a
+    job on this image's flaky compile service — observed round 5).
+
+    Hashes every file's relative path + size, the full bytes of small
+    (<1 MB) metadata files, and the first/last 64 KiB of large array
+    files — any real checkpoint change moves array bytes at the sampled
+    offsets or the metadata.  Returns None when the path is unusable
+    (caller falls back to the device fingerprint).
+    """
+    if not os.path.isdir(path):
+        return None
+    h = hashlib.sha256()
+    n_files = 0
+    for root, dirs, files in os.walk(path):
+        dirs.sort()
+        for name in sorted(files):
+            fp = os.path.join(root, name)
+            rel = os.path.relpath(fp, path)
+            try:
+                size = os.path.getsize(fp)
+                h.update(rel.encode())
+                h.update(str(size).encode())
+                with open(fp, "rb") as f:
+                    if size <= 1 << 20:
+                        h.update(f.read())
+                    else:
+                        h.update(f.read(65536))
+                        f.seek(-65536, os.SEEK_END)
+                        h.update(f.read(65536))
+                n_files += 1
+            except OSError:
+                return None
+    if n_files == 0:
+        return None
+    return "sha256-ckpt:" + h.hexdigest()
+
+
 def _encode_spec(spec: Any) -> dict:
     """JSON-safe encoding of a block-precision spec (see
     autoprec.spec_to_overrides: None | str | per-layer tuple | dict)."""

