@@ -110,6 +110,13 @@ def build_parser() -> argparse.ArgumentParser:
                    "the d.sh probe grid in mesh wall-time of one probe). "
                    "Single chip: the program is N HVPs big; use sequential "
                    "--probes instead at LLM scale")
+    p.add_argument("--linearized", action="store_true",
+                   help="with --host_loop + a single batch: pay the primal "
+                   "forward+backward ONCE and run every Lanczos iteration "
+                   "on the cached linearization (0.72x the HVP flops — the "
+                   "compute-bound blocks-X6 lever; curvature/linearized.py)."
+                   "  Residuals are ~2.65 GiB/sequence at 124M seq512: "
+                   "bs<=4 territory")
     p.add_argument("--qprev_bf16", action="store_true",
                    help="store the lagged Lanczos vector in bf16 (frees "
                    "half a P-buffer; ~1e-3 extreme-Ritz perturbation)")

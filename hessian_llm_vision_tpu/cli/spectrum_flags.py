@@ -30,6 +30,17 @@ def validate_flags(args) -> None:
             "(drop --host_loop/--layerwise, or use krylov.trace directly "
             "with a host-loop matvec)"
         )
+    if args.linearized and (
+        not args.host_loop or args.fused_step or args.fused_iter
+        or args.bigmodel or args.probe_parallel or args.layerwise
+        or args.operator != "hessian"
+    ):
+        raise SystemExit(
+            "--linearized needs --host_loop with --operator hessian and is "
+            "exclusive with --fused_step/--fused_iter/--bigmodel/"
+            "--probe_parallel/--layerwise (the cached linearization "
+            "replaces the per-iteration HVP program)"
+        )
     if args.qprev_bf16 and not args.fused_step:
         raise SystemExit("--qprev_bf16 requires --fused_step (the plain "
                          "host loop keeps all flat vectors f32)")

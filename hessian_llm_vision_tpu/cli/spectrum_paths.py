@@ -68,7 +68,34 @@ def host_loop_main(args, wl, key):
             print(f"probe {pi + 1}/{args.probes}: "
                   f"lambda_max {all_ev[-1].max():.4f}")
     for pi in range(0 if args.probe_parallel else max(args.probes, 1)):
-        if args.bigmodel:
+        if args.linearized:
+            if len(wl.batches) != 1:
+                raise SystemExit(
+                    "--linearized needs a single batch (--num_batches 1): "
+                    "the cached residuals are per-batch and cost ~2.65 GiB "
+                    "per 124M/seq512 sequence"
+                )
+            from hessian_llm_vision_tpu.krylov.driver import (
+                linearized_spectrum_host,
+            )
+
+            res = linearized_spectrum_host(
+                wl.loss_fn,
+                wl.params,
+                wl.batches[0],
+                args.lanczos_iters,
+                key=jax.random.fold_in(key, pi),
+                normalization=(
+                    "mean"
+                    if args.normalization == "dataset"
+                    else args.normalization
+                ),
+                batch_size=wl.batch_size,
+                callback=cb,
+                progress=args.probes == 1,
+                precision=args.hvp_precision,
+            )
+        elif args.bigmodel:
             if len(wl.batches) != 1 or args.operator != "hessian":
                 raise SystemExit(
                     "--bigmodel needs a single batch (--num_batches 1) "

@@ -39,6 +39,7 @@ from hessian_llm_vision_tpu.krylov.autoprec import (
     prefix_block_spec,
     spec_to_overrides,
 )
+from hessian_llm_vision_tpu.krylov.driver import linearized_spectrum_host
 from hessian_llm_vision_tpu.krylov.precplan import (
     checkpoint_fingerprint,
     default_plan_path,
@@ -70,6 +71,7 @@ __all__ = [
     "lanczos_host_basis",
     "dataset_spectrum_host",
     "dataset_thick_restart_host",
+    "linearized_spectrum_host",
     "layerwise_spectrum_host",
     "AutoPrecisionPlan",
     "PrecisionArm",

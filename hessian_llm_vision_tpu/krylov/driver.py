@@ -344,6 +344,77 @@ def _jitted_fused_lanczos_step(loss_fn, per_batch_norm, precision, fl, batch_siz
     return fused_step
 
 
+def linearized_spectrum_host(
+    loss_fn: Callable[[Any, Any], jax.Array],
+    params: Any,
+    batch: Any,
+    num_iters: int,
+    *,
+    key: Optional[jax.Array] = None,
+    v0: Optional[jax.Array] = None,
+    normalization: str = "mean",
+    batch_size: Optional[int] = None,
+    precision: Optional[str] = "high",
+    flattener: Optional[Flattener] = None,
+    callback: Optional[Callable[[int, np.ndarray, np.ndarray], None]] = None,
+    progress: bool = False,
+) -> LanczosResult:
+    """T-only single-batch Lanczos over the LINEARIZED operator: the
+    primal forward+backward is paid ONCE (curvature/linearized.py), every
+    iteration runs the tangent map alone (0.72x the HVP flops — the
+    algorithmic lever on the compute-bound blocks-X6 tier, where shape
+    tuning is flat; artifacts/mfu_r5/).  Memory: the residuals are ~2.65
+    GiB/sequence at 124M seq512 — single-batch bs<=4 territory; budget
+    with ``curvature.residual_bytes``.
+    """
+    from hessian_llm_vision_tpu.curvature.linearized import (
+        linearized_hvp_programs,
+    )
+
+    fl = flattener or Flattener(params)
+    if (v0 is None) == (key is None):
+        raise ValueError("pass exactly one of v0 / key")
+    if v0 is None:
+        v0 = jax.random.normal(key, (fl.size,), jnp.float32)
+    resid_p, tangent_p = linearized_hvp_programs(
+        loss_fn, normalization, precision, fl, batch_size
+    )
+    consts = resid_p(params, batch)
+    q_cur = v0.astype(jnp.float32)
+    q_cur = q_cur / jnp.maximum(jnp.linalg.norm(q_cur), 1e-30)
+    q_prev = jnp.zeros_like(q_cur)
+    beta_prev = jnp.float32(0.0)
+    alphas: List[float] = []
+    betas: List[float] = []
+    for i in range(num_iters):
+        t0 = time.perf_counter()
+        w = tangent_p(q_cur, consts, params, batch)
+        alpha, beta, q_next = host_recurrence_step(w, q_cur, q_prev, beta_prev)
+        q_prev, q_cur, beta_prev = q_cur, q_next, beta
+        alphas.append(alpha)
+        betas.append(beta)
+        if callback is not None:
+            callback(
+                i,
+                np.asarray(jnp.stack(alphas)),
+                np.asarray(jnp.stack(betas[:-1])) if len(betas) > 1
+                else np.zeros((0,)),
+            )
+        if progress:
+            print(
+                f"linearized lanczos iter {i + 1}/{num_iters}  "
+                f"{time.perf_counter() - t0:.2f}s",
+                flush=True,
+            )
+    del consts
+    return LanczosResult(
+        alphas=jnp.stack(alphas).astype(jnp.float32),
+        betas=(jnp.stack(betas[:-1]).astype(jnp.float32)
+               if len(betas) > 1 else jnp.zeros((0,), jnp.float32)),
+        basis=None,
+    )
+
+
 def single_batch_spectrum_host_fused(
     loss_fn: Callable[[Any, Any], jax.Array],
     params: Any,

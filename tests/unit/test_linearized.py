@@ -171,3 +171,34 @@ def test_train_cli_refresh_linearized(tmp_path, capsys):
             "--model", "gpt2-tiny", "--optimiser", "adam",
             "--refresh_linearized", "--out", str(tmp_path),
         ])
+
+
+def test_spectrum_cli_linearized_matches_plain(tmp_path, capsys):
+    """--linearized host-loop spectrum == the plain host loop (same probe
+    seed, same operator — the tangent map is the same linear map)."""
+    from hessian_llm_vision_tpu.cli import spectrum
+
+    common = [
+        "--model", "gpt2-tiny", "--lanczos_iters", "6", "--batch_size", "2",
+        "--num_batches", "1", "--max_length", "16", "--host_loop",
+        "--hvp_precision", "high", "--vector_seed", "11",
+    ]
+    spectrum.main(common + ["--linearized",
+                            "--out_spectrum", str(tmp_path / "lin")])
+    spectrum.main(common + ["--out_spectrum", str(tmp_path / "plain")])
+    from hessian_llm_vision_tpu.io import load_spectrum
+
+    a = load_spectrum(str(tmp_path / "lin.npz"))
+    b = load_spectrum(str(tmp_path / "plain.npz"))
+    np.testing.assert_allclose(
+        np.sort(np.asarray(a.eigvals)), np.sort(np.asarray(b.eigvals)),
+        rtol=1e-4, atol=1e-5,
+    )
+
+    # loud-flags: --linearized without --host_loop / with fused modes
+    import pytest
+
+    with pytest.raises(SystemExit, match="linearized"):
+        spectrum.main(["--model", "gpt2-tiny", "--linearized"])
+    with pytest.raises(SystemExit, match="linearized"):
+        spectrum.main(common + ["--linearized", "--fused_iter"])
