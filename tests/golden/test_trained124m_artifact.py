@@ -9,9 +9,19 @@ load_model.py:96-140) executed end-to-end on one chip on real text.  Pins:
 * sharpness growth through training (lambda_max 4.96 -> 1.0e4 -> 3.7e5);
 * the trained-endpoint two-scale structure: residual-certified spikes
   detached ~8x from the deflated-KPM bulk;
-* the precision A/B that keeps --hvp_precision default 'high': mixed
-  (blocks bf16) inflates lambda_max 5.8x on the trained checkpoint while
-  high agrees with strict f32 to <1e-4.
+* the precision A/B: mixed (blocks bf16) inflates lambda_max 5.8x on the
+  trained checkpoint while high agrees with strict f32 to <1e-4.
+
+HISTORICAL PINS: these values describe the round-3 artifact AS COMPUTED
+— at the 'high' (bf16x3) tier with unreorthogonalized T-only runs, a
+methodology rounds 4-5 superseded (the default is now --hvp_precision
+auto, which escalates to blocks-X6 on trained checkpoints; 'high' errs
+0.44 there and both r3 A/B arms shared an understated no-reorth
+trajectory).  The faithful-tier recomputation lives in
+artifacts/trained124m_r5 (test_trained124m_r5_artifact.py): certified
+extremes 5.1x larger, spike detachment 36x not 8.2x, bulk ~unchanged.
+This file keeps pinning the r3 artifact's internal consistency (it is
+committed history and its README carries the correction section).
 """
 
 import json
