@@ -322,6 +322,8 @@ def main(argv=None) -> float:
         # actually start from — probing init-scale curvature and then
         # swapping in a trained checkpoint would falsely pass exactly the
         # checkpoint-dependent regime the flag exists for
+        import jax
+
         from hessian_llm_vision_tpu.cli.common import (
             referee_loss_fn_for,
             report_precision_probe,
