@@ -261,3 +261,44 @@ def test_train_cli_guard_requires_host_optimiser(tmp_path):
             "--model", "gpt2-tiny", "--optimiser", "adam",
             "--precision_recheck", "5", "--out", str(tmp_path),
         ])
+
+
+def test_layerwise_trainer_guard_integration():
+    """The layerwise host trainer consults the guard at refresh
+    boundaries and applies escalations to its masked-HVP program."""
+    from hessian_llm_vision_tpu.optim.lanczos_sgd_host import (
+        HostLayerwiseLanczosSGDTrainer,
+    )
+    from hessian_llm_vision_tpu.optim import LanczosSGDConfig
+
+    cfg = LanczosSGDConfig(
+        k=3, delta=1e-3, lr=0.0, momentum=0.0, refresh_every=1,
+        normalization="mean",
+    )
+    params = {"a": jnp.linspace(1.0, 2.0, 8), "b": jnp.ones((6,))}
+
+    def loss_a(p, batch):
+        return 0.5 * (p["a"] @ p["a"]) + 0.5 * 3.0 * (p["b"] @ p["b"])
+
+    tr = HostLayerwiseLanczosSGDTrainer(loss_a, params, cfg)
+    verdicts = iter([0.0, 1.0, 0.0])  # 2nd probe breaches -> escalate
+    probed = []
+
+    def probe(tier, p, b):
+        probed.append(tier.label)
+        return next(verdicts)
+
+    guard = RefreshPrecisionGuard(
+        [GuardTier("cheap", loss_a, "high"), GuardTier("exact", loss_a, "highest")],
+        referee_loss_fn=loss_a, recheck_every=2, probe_fn=probe,
+    )
+    tr.precision_guard = guard
+    guard.resolve_initial(tr, params, {"s": jnp.float32(1.0)})
+    assert tr.refresh_precision == "high"
+    state = tr.init(params)
+    for i in range(3):
+        state, _ = tr.step(state, {"s": jnp.float32(1.0)})
+    # probes: initial (pass), recheck at refresh 2 (breach -> exact pass)
+    assert probed == ["cheap", "cheap", "exact"]
+    assert guard.tier.label == "exact"
+    assert tr.refresh_precision == "highest"
