@@ -84,16 +84,20 @@ def main():
             )
             hvp = _jitted_batch_hvp(loss_fn, "mean", "high", fl)
 
-            # full HVP: warm + chained timing
+            # full HVP: warm + chained timing.  NOTE: timings must end
+            # in a HOST SCALAR FETCH — this backend's block_until_ready
+            # does not synchronize through the tunnel (measured: bs4
+            # "HVPs" at 0.1 ms, below the HBM floor of reading their own
+            # inputs)
             w = hvp(v0, params, batch)
-            w.block_until_ready()
+            float(jnp.vdot(w, w))
             iters = 8
             t0 = time.perf_counter()
             v = v0
             for _ in range(iters):
                 w = hvp(v, params, batch)
                 v = chain_step(v, w)
-            v.block_until_ready()
+            float(jnp.vdot(v, v))
             row["sec_per_full_hvp"] = round(
                 (time.perf_counter() - t0) / iters, 4
             )
@@ -101,21 +105,26 @@ def main():
             # residual program: warm = the measurement of interest is the
             # steady dispatch (cached compile), take the 2nd call
             consts = resid_p(params, batch)
-            jax.block_until_ready(consts)
+            float(jnp.linalg.norm(consts[0]))
             t0 = time.perf_counter()
             consts = resid_p(params, batch)
-            jax.block_until_ready(consts)
+            float(jnp.linalg.norm(consts[0]))
             row["sec_residual_program"] = round(time.perf_counter() - t0, 4)
 
-            # tangent program: warm + chained timing
+            # tangent program: warm + correctness vs the full HVP (the
+            # linear map must agree on-chip, not just in the CPU parity
+            # tier), then chained timing ending in a host fetch
             w = tangent_p(v0, consts, params, batch)
-            w.block_until_ready()
+            w_ref = hvp(v0, params, batch)
+            num = float(jnp.linalg.norm(w - w_ref))
+            den = float(jnp.linalg.norm(w_ref))
+            row["tangent_vs_hvp_rel_err"] = round(num / max(den, 1e-30), 8)
             t0 = time.perf_counter()
             v = v0
             for _ in range(iters):
                 w = tangent_p(v, consts, params, batch)
                 v = chain_step(v, w)
-            v.block_until_ready()
+            float(jnp.vdot(v, v))
             row["sec_per_tangent"] = round((time.perf_counter() - t0) / iters, 4)
             del consts, w, v
 
