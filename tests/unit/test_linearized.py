@@ -202,3 +202,35 @@ def test_spectrum_cli_linearized_matches_plain(tmp_path, capsys):
         spectrum.main(["--model", "gpt2-tiny", "--linearized"])
     with pytest.raises(SystemExit, match="linearized"):
         spectrum.main(common + ["--linearized", "--fused_iter"])
+
+
+def test_guard_escalation_rebuilds_linearized_programs():
+    """A precision-guard escalation must swap the tangent/residual
+    programs too when the trainer runs linearized refreshes — the
+    refresh after an escalation differentiates the NEW tier's loss."""
+    from hessian_llm_vision_tpu.optim import GuardTier, LanczosSGDConfig
+    from hessian_llm_vision_tpu.optim.lanczos_sgd_host import (
+        HostLanczosSGDTrainer,
+    )
+
+    loss_a, params, batch = _mlp_workload()
+
+    def loss_b(p, b):
+        return 2.0 * loss_a(p, b)  # distinguishable curvature scale
+
+    cfg = LanczosSGDConfig(
+        k=3, delta=1e-3, lr=0.0, momentum=0.0, refresh_every=1,
+        normalization="mean",
+    )
+    tr = HostLanczosSGDTrainer(loss_a, params, cfg, refresh_linearized=True)
+    assert tr._tangent is not None
+    state = tr.init(params)
+    state, m1 = tr.step(state, batch)
+    lam_a = float(state.eigvals[-1])
+
+    tr.set_refresh_tier(GuardTier("tier-b", loss_b, "highest"))
+    assert tr.refresh_loss_fn is loss_b and tr.refresh_precision == "highest"
+    state, m2 = tr.step(state, batch)
+    # linearized refresh now runs the NEW loss: eigvals double
+    np.testing.assert_allclose(float(state.eigvals[-1]), 2.0 * lam_a,
+                               rtol=1e-4)
