@@ -113,10 +113,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--linearized", action="store_true",
                    help="with --host_loop + a single batch: pay the primal "
                    "forward+backward ONCE and run every Lanczos iteration "
-                   "on the cached linearization (0.72x the HVP flops — the "
-                   "compute-bound blocks-X6 lever; curvature/linearized.py)."
+                   "on the cached linearization (0.51x the HVP wall measured "
+                   "on-chip at the blocks-X6 tier; curvature/linearized.py)."
                    "  Residuals are ~2.65 GiB/sequence at 124M seq512: "
-                   "bs<=4 territory")
+                   "bs2 territory on a 16 GB chip")
     p.add_argument("--qprev_bf16", action="store_true",
                    help="store the lagged Lanczos vector in bf16 (frees "
                    "half a P-buffer; ~1e-3 extreme-Ritz perturbation)")

@@ -23,8 +23,10 @@ eval_shape, no compile): the residuals for GPT-2 124M seq512 are
 why this mode is OPT-IN with an explicit guard rather than the default
 (``jax.checkpoint`` can NOT shrink it: remat policies act on the vjp,
 and this is a jvp — verified, remat on/off residuals are byte-identical).
-Fits and pays at refresh/probe scale: bs<=4 single-batch operators and
-the LanczosSGD refresh (k HVPs on one micro-batch at fixed params).
+Fits and pays at refresh/probe scale (measured on the 16 GB chip at
+124M/seq512: bs2 fits and the tangent runs 0.51x the HVP wall — 1.73x
+for a k=10 refresh, 1.89x for k=35; bs4's 10.9 GiB residuals OOM with
+the full-HVP program co-resident; artifacts/mfu_r5/linearized_x6.json).
 
 Both programs trace the SAME ``jax.linearize`` call so
 ``closure_convert`` hoists identical const lists in identical order; the
